@@ -112,7 +112,7 @@ def max_steps_for_bricks(
 ) -> int:
     """Static bound on per-brick march length: brick diagonal / step."""
     diag = np.linalg.norm(np.asarray(world_max) - np.asarray(world_min), axis=-1)
-    return int(math.ceil(float(np.max(diag)) / step_size)) + 2
+    return int(math.ceil(float(np.max(diag)) / step_size)) + 4
 
 
 def sample_density(
@@ -198,25 +198,52 @@ def _march_one_brick(
     add = -lo / (hi - lo)
 
     t0, t1, hit = ray_ops.intersect_box(eye, dirs, wmin, wmax)
-    tnear = jnp.maximum(t0, t_near_plane)
-    # Global step-grid alignment (fragRaycast.glsl:152-158).
-    residu = jnp.mod(tnear - tn_global, step)
-    tnear = jnp.where(residu > 0.0, tnear + step - residu, tnear)
-    tfar = t1
-    if clip_planes is not None and len(clip_planes) > 0:
-        tnear, tfar = ray_ops.clip_ray(eye, dirs, tnear, tfar, clip_planes)
-    valid = hit & hit_global & (tnear <= tfar)
 
+    # Exact global step grid: sample n lives at t_n = tnGlobal + n*step —
+    # the same float for every brick decomposition.  This strengthens the
+    # reference's residu-based alignment (fragRaycast.glsl:152-158) from
+    # "seam-free in exact arithmetic" to bit-exact decomposition
+    # invariance, which the sort-last distributed parity tests rely on.
+    tnear = jnp.maximum(t0, t_near_plane)
+    n0 = jnp.floor((tnear - tn_global) / step).astype(jnp.int32) - 1
+    # Samples before the near plane are excluded globally
+    # (fragRaycast.glsl:149-150): first admissible grid index.
+    n_start = jnp.ceil(
+        jnp.maximum(t_near_plane - tn_global, 0.0) / step
+    ).astype(jnp.int32)
+
+    # Clip planes restrict the admissible t interval
+    # (fragRaycast.glsl:162-174); brick extent itself is enforced
+    # geometrically below, so start from an unbounded interval.
+    if clip_planes is not None and len(clip_planes) > 0:
+        t_clip_lo, t_clip_hi = ray_ops.clip_ray(
+            eye,
+            dirs,
+            jnp.full(dirs.shape[:-1], -3e38, jnp.float32),
+            jnp.full(dirs.shape[:-1], 3e38, jnp.float32),
+            clip_planes,
+        )
+    else:
+        t_clip_lo = t_clip_hi = None
+
+    valid = hit & hit_global
     tex_scale = tmax - tmin
 
     def body(carry, k):
         rgb, a = carry
-        t = tnear + k * step
-        # Sample while travel > 0 (fragRaycast.glsl:193) and the pixel has
-        # not terminated (early exit checked before compositing the next
-        # sample, :115-117, 208-209).
-        m = valid & (t < tfar) & (a <= params.early_exit)
+        n = n0 + k
+        t = tn_global + n.astype(jnp.float32) * step
+        # Early exit checked before compositing the next sample
+        # (fragRaycast.glsl:115-117, 208-209).
+        m = valid & (n >= n_start) & (a <= params.early_exit)
+        if t_clip_lo is not None:
+            m = m & (t >= t_clip_lo) & (t < t_clip_hi)
         pos = eye + dirs * t[..., None]
+        # Half-open geometric membership: each grid sample belongs to
+        # exactly ONE brick even under float rounding of the per-brick
+        # slab intervals (bricks share exact face values).
+        inside = jnp.all((pos >= wmin) & (pos < wmax), axis=-1)
+        m = m & inside
         u = (pos - wmin) / (wmax - wmin)
         tex_pos = u * tex_scale + tmin
         raw = sample_density(brick, tex_pos, params.filter_mode)
@@ -228,7 +255,7 @@ def _march_one_brick(
         return (rgb, a), None
 
     (rgb, a), _ = jax.lax.scan(
-        body, (rgb, a), jnp.arange(max_steps, dtype=jnp.float32)
+        body, (rgb, a), jnp.arange(max_steps, dtype=jnp.int32)
     )
     return rgb, a
 
@@ -260,7 +287,7 @@ def render_reference(
         diag = jnp.linalg.norm(bricks.world_max - bricks.world_min, axis=-1)
         max_steps = int(
             math.ceil(float(jnp.max(jax.lax.stop_gradient(diag))) / step)
-        ) + 2
+        ) + 4
 
     images = []
     for s in range(params.samples_per_pixel):
