@@ -87,6 +87,7 @@ class RenderParams:
     early_exit: float = EARLY_EXIT
     filter_mode: str = "nearest"  # "nearest" (reference parity) | "trilinear"
     max_steps_per_brick: Optional[int] = None  # static inner trip count
+    remat: bool = False  # jax.checkpoint chunk bodies (for reverse-mode AD)
 
     @property
     def step_size(self) -> float:
