@@ -1,0 +1,209 @@
+"""Generic thread-safe LRU cache with pinned-while-referenced eviction.
+
+Reference: livre/core/cache/Cache.{h,ipp} — ``load`` constructs the object
+under a per-entry lock (concurrent loads of the same id block, different ids
+proceed, Cache.ipp:98-119); construction failure raises and the entry is
+erased (Cache.ipp:110-113); the LRU policy evicts only entries that are no
+longer externally referenced, when used memory exceeds the budget
+(Cache.ipp:27-85); statistics count hits/misses (CacheStatistics.h).
+
+Python adaptation: "referenced" is tracked with an explicit pin count on
+:class:`CacheEntry` handles (C++ used shared_ptr use_count); callers pin
+entries for the duration of a render pass.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from typing import Any, Callable, Dict, Generic, Optional, TypeVar
+
+T = TypeVar("T")
+
+
+class CacheLoadError(RuntimeError):
+    """Raised when an object cannot be constructed (CacheObject.h:66-74).
+
+    The rendering-set generator treats a missing brick as 'not available'
+    and falls back to an ancestor — never a crash
+    (RenderingSetGeneratorFilter.ipp:39-55)."""
+
+
+class CacheEntry(Generic[T]):
+    """Handle to a cached object; pin to protect from eviction."""
+
+    __slots__ = ("cache_id", "value", "size", "_pins", "_lock")
+
+    def __init__(self, cache_id: int, value: T, size: int):
+        self.cache_id = cache_id
+        self.value = value
+        self.size = size
+        self._pins = 0
+        self._lock = threading.Lock()
+
+    def pin(self) -> "CacheEntry[T]":
+        with self._lock:
+            self._pins += 1
+        return self
+
+    def unpin(self) -> None:
+        with self._lock:
+            if self._pins > 0:
+                self._pins -= 1
+
+    @property
+    def pinned(self) -> bool:
+        return self._pins > 0
+
+
+class CacheStatistics:
+    """Hit/miss/memory counters (CacheStatistics.h:33-108)."""
+
+    def __init__(self, name: str, max_bytes: int):
+        self.name = name
+        self.max_bytes = max_bytes
+        self.used_bytes = 0
+        self.object_count = 0
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    def __repr__(self) -> str:
+        return (
+            f"{self.name}: {self.object_count} objects, "
+            f"{self.used_bytes / 2**20:.1f}/{self.max_bytes / 2**20:.1f} MB, "
+            f"{self.hits} hits / {self.misses} misses, {self.evictions} evicted"
+        )
+
+
+class LRUCache(Generic[T]):
+    """LRU cache with budgeted eviction of unpinned entries."""
+
+    def __init__(
+        self,
+        name: str,
+        max_bytes: int,
+        loader: Optional[Callable[..., tuple]] = None,
+        on_evict: Optional[Callable[[int, T], None]] = None,
+    ):
+        """``loader(cache_id, *args) -> (value, size_bytes)``;
+        ``on_evict(cache_id, value)`` releases external resources (e.g.
+        returning an atlas slot, TexturePool::release)."""
+        self._name = name
+        self._loader = loader
+        self._on_evict = on_evict
+        self._lock = threading.Lock()
+        self._entries: "OrderedDict[int, CacheEntry[T]]" = OrderedDict()
+        self._inflight: Dict[int, threading.Event] = {}
+        self.statistics = CacheStatistics(name, max_bytes)
+
+    def get(self, cache_id: int) -> Optional[CacheEntry[T]]:
+        """Return the entry if resident (marks it recently used)."""
+        with self._lock:
+            entry = self._entries.get(cache_id)
+            if entry is not None:
+                self._entries.move_to_end(cache_id)
+            return entry
+
+    def load(self, cache_id: int, *args, loader=None) -> CacheEntry[T]:
+        """Return the entry, constructing it if absent.
+
+        Concurrent loads of the same id block on each other; loads of
+        different ids proceed in parallel (Cache.ipp:146-195).
+        """
+        loader = loader or self._loader
+        while True:
+            with self._lock:
+                entry = self._entries.get(cache_id)
+                if entry is not None:
+                    self._entries.move_to_end(cache_id)
+                    self.statistics.hits += 1
+                    return entry
+                event = self._inflight.get(cache_id)
+                if event is None:
+                    event = threading.Event()
+                    self._inflight[cache_id] = event
+                    break
+            event.wait()
+
+        try:
+            value, size = loader(cache_id, *args)
+        except Exception as exc:
+            with self._lock:
+                self._inflight.pop(cache_id, None)
+                event.set()
+            raise CacheLoadError(f"{self._name}: load {cache_id:#x} failed") from exc
+
+        entry = CacheEntry(cache_id, value, size)
+        with self._lock:
+            self._entries[cache_id] = entry
+            self.statistics.misses += 1
+            self.statistics.used_bytes += size
+            self.statistics.object_count += 1
+            self._inflight.pop(cache_id, None)
+            event.set()
+            self._apply_policy_locked()
+        return entry
+
+    def _apply_policy_locked(self) -> None:
+        """Evict LRU unpinned entries while over budget (Cache.ipp:27-85)."""
+        if self.statistics.used_bytes < self.statistics.max_bytes:
+            return
+        for cid in list(self._entries.keys()):
+            if self.statistics.used_bytes < self.statistics.max_bytes:
+                break
+            entry = self._entries[cid]
+            if entry.pinned:
+                continue
+            del self._entries[cid]
+            self.statistics.used_bytes -= entry.size
+            self.statistics.object_count -= 1
+            self.statistics.evictions += 1
+            if self._on_evict is not None:
+                self._on_evict(cid, entry.value)
+
+    def ensure_budget(self, needed_bytes: int) -> bool:
+        """Evict unpinned LRU entries until ``needed_bytes`` fit the budget.
+
+        Called before acquiring external resources (atlas slots) so the
+        pool is freed *before* allocation — the proactive half of
+        Cache.ipp's applyPolicy.  Returns False if pinned entries block.
+        """
+        with self._lock:
+            while (
+                self.statistics.used_bytes + needed_bytes
+                > self.statistics.max_bytes
+            ):
+                victim = None
+                for cid, entry in self._entries.items():
+                    if not entry.pinned:
+                        victim = cid
+                        break
+                if victim is None:
+                    return False
+                entry = self._entries.pop(victim)
+                self.statistics.used_bytes -= entry.size
+                self.statistics.object_count -= 1
+                self.statistics.evictions += 1
+                if self._on_evict is not None:
+                    self._on_evict(victim, entry.value)
+            return True
+
+    def purge(self, cache_id: Optional[int] = None) -> None:
+        """Drop entries unconditionally (Cache.h:84-95)."""
+        with self._lock:
+            ids = [cache_id] if cache_id is not None else list(self._entries.keys())
+            for cid in ids:
+                entry = self._entries.pop(cid, None)
+                if entry is not None:
+                    self.statistics.used_bytes -= entry.size
+                    self.statistics.object_count -= 1
+                    if self._on_evict is not None:
+                        self._on_evict(cid, entry.value)
+
+    def __contains__(self, cache_id: int) -> bool:
+        with self._lock:
+            return cache_id in self._entries
+
+    def __len__(self) -> int:
+        return len(self._entries)

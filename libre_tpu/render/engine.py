@@ -1,0 +1,400 @@
+"""Render engine: LOD selection → rendering set → upload → multipass raycast.
+
+The TPU-native equivalent of the per-frame orchestration in
+renderers/glRaycaster/GLRaycastPipeline.cpp:78-350:
+
+  * ``select_visibles`` picks the LOD brick set for the view (SSE DFS);
+  * the *rendering set* substitutes each missing brick with its nearest
+    loaded ancestor so progressive refinement never blocks on IO
+    (RenderingSetGeneratorFilter.ipp:27-134);
+  * bricks stream disk → host data cache (LRU) → HBM atlas slots
+    (DataUploadFilter/TextureUploadFilter), with an optional prefetch
+    thread pool standing in for the Tuyau upload executors;
+  * when the visible set exceeds the atlas budget, rendering runs in
+    memory-bounded multipass batches with the per-ray (rgb, a) carried
+    across passes (GLRaycastPipeline.cpp:148-186) — the step-grid-exact
+    marcher makes the passes compose identically to a single pass;
+  * per-frame histogram accumulation over rendered bricks
+    (HistogramFilter.cpp semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libre_tpu.core.cache import CacheLoadError, LRUCache
+from libre_tpu.core.clip_planes import ClipPlanes
+from libre_tpu.core.frustum import Frustum
+from libre_tpu.core.nodeid import NodeId
+from libre_tpu.core.select_visibles import select_visibles
+from libre_tpu.data.datasource import DataSource
+from libre_tpu.ops import raycast
+from libre_tpu.ops import rays as ray_ops
+from libre_tpu.ops.atlas import BrickAtlas, atlas_capacity
+from libre_tpu.ops.histogram_ops import Histogram, compute_brick_histogram
+from libre_tpu.ops.reference import BrickSet, Camera, RenderParams, nyquist_samples_per_ray
+from libre_tpu.ops.transfer_function import default_color_map
+
+
+@dataclasses.dataclass
+class RenderStatistics:
+    """Availability counters (FrameInfo.h RenderStatistics)."""
+
+    n_available: int = 0
+    n_not_available: int = 0
+    n_render_available: int = 0
+    n_passes: int = 0
+    rendering_done: bool = True
+
+
+def compute_rendering_set(
+    visibles: Sequence[NodeId], is_loaded
+) -> Tuple[List[NodeId], bool]:
+    """Progressive-LOD fallback (RenderingSetGeneratorFilter.ipp:27-134).
+
+    For each visible node take it if loaded, else its nearest loaded
+    ancestor; dedupe nodes whose substitute is already present.  Returns
+    (render list, rendering_done = all visibles were loaded themselves).
+    """
+    chosen: List[NodeId] = []
+    seen = set()
+    done = True
+    for node in visibles:
+        pick: Optional[NodeId] = None
+        if is_loaded(node):
+            pick = node
+        else:
+            done = False
+            for anc in node.parents():
+                if is_loaded(anc):
+                    pick = anc
+                    break
+        if pick is not None and pick.id not in seen:
+            # Drop children whose ancestor is already in the set.
+            if not any(pick.is_ancestor(NodeId(s)) for s in seen):
+                seen.add(pick.id)
+                chosen.append(pick)
+    return chosen, done
+
+
+class RenderEngine:
+    """Owns the datasource, caches, atlas, and the compiled render path."""
+
+    def __init__(
+        self,
+        datasource: DataSource,
+        max_gpu_cache_mb: int = 3072,
+        max_cpu_cache_mb: int = 8192,
+        n_upload_threads: int = 4,
+        filter_mode: str = "nearest",
+        dtype=jnp.float32,
+    ):
+        self.datasource = datasource
+        info = datasource.volume_info
+        self.info = info
+        padded = info.maximum_block_size  # (x, y, z)
+        self._brick_shape_zyx = (padded[2], padded[1], padded[0])
+        self.filter_mode = filter_mode
+
+        n_slots = atlas_capacity(
+            max_gpu_cache_mb * 2**20, self._brick_shape_zyx, dtype
+        )
+        self.atlas = BrickAtlas(n_slots, self._brick_shape_zyx, dtype)
+
+        # Host brick cache: disk → numpy (DataCache, rendererParameters.fbs:10).
+        self.data_cache: LRUCache[np.ndarray] = LRUCache(
+            "DataCache",
+            max_cpu_cache_mb * 2**20,
+            loader=self._load_brick,
+        )
+        # Device residency: node id → atlas slot (TextureCache).
+        self.texture_cache: LRUCache[int] = LRUCache(
+            "TextureCache",
+            n_slots * self.atlas.slot_bytes,
+            on_evict=lambda cid, slot: self.atlas.release(slot),
+        )
+        self.histogram_cache: LRUCache[Histogram] = LRUCache(
+            "HistogramCache", 1 << 30
+        )
+        self._upload_pool = ThreadPoolExecutor(max_workers=n_upload_threads)
+
+        # Per-node placement metadata (tex coords are constant per dataset).
+        overlap = np.asarray(info.overlap, np.float32)
+        pad = np.asarray(padded, np.float32)
+        block = np.asarray(info.block_size, np.float32)
+        self._tex_min = overlap / pad
+        self._tex_max = (overlap + block) / pad
+
+        self.transfer_function = jnp.asarray(default_color_map())
+        self.data_source_range = info.data_type.default_range
+
+        self._compiled: Dict[tuple, callable] = {}
+
+    # ------------------------------------------------------------------ IO
+    def _load_brick(self, cache_id: int) -> Tuple[np.ndarray, int]:
+        node = NodeId(cache_id)
+        data = self.datasource.get_data(node)
+        return data, data.nbytes
+
+    def _upload_node(self, node: NodeId):
+        """Host cache → atlas slot; returns the cache entry whose value is
+        the slot (TextureUploadFilter).  Pin the entry to protect the slot
+        from eviction while a render pass references it."""
+        entry = self.texture_cache.get(node.id)
+        if entry is not None:
+            return entry
+
+        def loader(cache_id):
+            data_entry = self.data_cache.load(cache_id)
+            # Free pool slots *before* acquiring (applyPolicy, Cache.ipp):
+            # acquire-then-evict would hit a full atlas at steady state.
+            self.texture_cache.ensure_budget(self.atlas.slot_bytes)
+            slot = self.atlas.acquire()
+            self.atlas.upload(slot, data_entry.value.astype(np.float32))
+            return slot, self.atlas.slot_bytes
+
+        return self.texture_cache.load(node.id, loader=loader)
+
+    def prefetch(self, nodes: Sequence[NodeId]) -> List:
+        """Async disk→host loads on the upload pool (Tuyau-executor stand-in,
+        GLRaycastPipeline.cpp:58-75)."""
+        return [
+            self._upload_pool.submit(self.data_cache.load, node.id)
+            for node in nodes
+            if node.id not in self.data_cache
+        ]
+
+    def prefetch_batch(self, nodes: Sequence[NodeId]) -> None:
+        """Blocking batched disk→host load of all missing bricks, using the
+        datasource's parallel batch path (native brickio thread pool) —
+        the synchronous-mode bulk load."""
+        missing = [n for n in nodes if n.id not in self.data_cache]
+        if not missing:
+            return
+        bricks = self.datasource.get_data_batch(missing)
+        for node, brick in zip(missing, bricks):
+            self.data_cache.load(
+                node.id, loader=lambda cid, b=brick: (b, b.nbytes)
+            )
+
+    def is_resident(self, node: NodeId) -> bool:
+        return node.id in self.texture_cache
+
+    # --------------------------------------------------------------- frame
+    def select(
+        self,
+        frustum: Frustum,
+        window_height: int,
+        screen_space_error: float = 4.0,
+        min_lod: int = 0,
+        max_lod: int = (1 << 4) - 1,
+        data_range: Tuple[float, float] = (0.0, 1.0),
+        clip_planes: Optional[ClipPlanes] = None,
+        time_step: int = 0,
+    ) -> List[NodeId]:
+        return select_visibles(
+            self.datasource,
+            frustum,
+            window_height,
+            screen_space_error,
+            min_lod,
+            max_lod,
+            data_range,
+            clip_planes,
+            time_step,
+        )
+
+    def _brick_set_for(self, nodes: Sequence[NodeId], slots: Sequence[int]) -> BrickSet:
+        wmin = np.stack(
+            [self.datasource.get_node(n).world_box_min for n in nodes]
+        ).astype(np.float32)
+        wmax = np.stack(
+            [self.datasource.get_node(n).world_box_max for n in nodes]
+        ).astype(np.float32)
+        n = len(nodes)
+        return BrickSet(
+            data=self.atlas.gather(list(slots)),
+            world_min=jnp.asarray(wmin),
+            world_max=jnp.asarray(wmax),
+            tex_min=jnp.asarray(np.tile(self._tex_min, (n, 1))),
+            tex_max=jnp.asarray(np.tile(self._tex_max, (n, 1))),
+        )
+
+    def render(
+        self,
+        camera: Camera,
+        frustum: Frustum,
+        params: Optional[RenderParams] = None,
+        screen_space_error: float = 4.0,
+        min_lod: int = 0,
+        max_lod: int = (1 << 4) - 1,
+        clip_planes: Optional[ClipPlanes] = None,
+        time_step: int = 0,
+        synchronous: bool = True,
+        collect_histogram: bool = False,
+        data_range: Tuple[float, float] = (0.0, 1.0),
+    ) -> Tuple[jnp.ndarray, RenderStatistics, Optional[Histogram]]:
+        """Render one frame.
+
+        ``synchronous=True`` blocks on uploads (renderSync,
+        GLRaycastPipeline.cpp:128-208); otherwise renders whatever is
+        resident, kicks async uploads, and reports rendering_done=False for
+        progressive refinement (renderAsync, :241-308).
+        """
+        vx, vy, vw, vh = camera.viewport
+        visibles = self.select(
+            frustum,
+            vh,
+            screen_space_error,
+            min_lod,
+            max_lod,
+            data_range,
+            clip_planes,
+            time_step,
+        )
+        stats = RenderStatistics()
+
+        if synchronous:
+            # Block until every visible brick is resident (multipass below
+            # bounds device memory, so load into the host cache first).
+            self.prefetch_batch(visibles)
+            render_nodes = list(visibles)
+            stats.rendering_done = True
+        else:
+            render_nodes, done = compute_rendering_set(visibles, self.is_resident)
+            stats.rendering_done = done
+            missing = [n for n in visibles if not self.is_resident(n)]
+            for node in missing:
+                self._upload_pool.submit(self._upload_node, node)
+        stats.n_available = len(render_nodes)
+        stats.n_not_available = len(visibles) - len(render_nodes)
+
+        if params is None:
+            max_level = max((n.level for n in render_nodes), default=0)
+            spr = nyquist_samples_per_ray(
+                self.info.voxels, self.info.root_node.depth, max_level
+            )
+            params = RenderParams(
+                n_samples_per_ray=spr,
+                data_source_range=self.data_source_range,
+                filter_mode=self.filter_mode,
+            )
+
+        # Front-to-back global order, then memory-bounded passes
+        # (GLRaycastPipeline.cpp:148-186): each pass uploads its batch and
+        # composites onto the carried per-ray (rgb, a).
+        eye_np = np.asarray(camera.inv_mv)[:3, 3]
+        half = np.asarray(self.info.world_size, np.float32) * 0.5
+        order_nodes = self._sort_nodes(render_nodes, eye_np)
+        batch = max(1, self.atlas.n_slots - 1)
+
+        eye, dirs, cos_z, _ = ray_ops.make_rays(
+            camera.inv_proj, camera.inv_mv, camera.viewport
+        )
+        dirs = dirs.reshape(-1, 3)
+        tnp_ = ray_ops.near_plane_t(cos_z.reshape(-1), camera.near)
+
+        max_steps = self._max_steps(order_nodes, params)
+        carry = None
+        histogram: Optional[Histogram] = None
+        for start in range(0, max(len(order_nodes), 1), batch):
+            pass_nodes = order_nodes[start : start + batch]
+            if not pass_nodes:
+                break
+            stats.n_passes += 1
+            entries = [self._upload_node(n).pin() for n in pass_nodes]
+            try:
+                brick_set = self._brick_set_for(
+                    pass_nodes, [e.value for e in entries]
+                )
+            finally:
+                for e in entries:
+                    e.unpin()
+            # The carried per-ray (rgb, a) is the accumulation texture
+            # persisting across memory-bounded passes (fragRaycast.glsl:115,
+            # GLRaycastPipeline.cpp:148-186); threading it through keeps
+            # early termination exact across pass boundaries.
+            rgb_a = raycast.render_rays(
+                brick_set,
+                self.transfer_function,
+                eye,
+                dirs,
+                tnp_,
+                params,
+                -half,
+                half,
+                clip_planes.as_array() if clip_planes is not None else None,
+                max_steps=max_steps,
+                init_carry=carry,
+            )
+            carry = (rgb_a[:, :3], rgb_a[:, 3])
+        if carry is None:
+            rgb_a = jnp.zeros((vw * vh, 4), jnp.float32)
+
+        stats.n_render_available = len(order_nodes)
+
+        if collect_histogram:
+            histogram = self.accumulate_histogram(order_nodes)
+
+        return rgb_a.reshape(vh, vw, 4), stats, histogram
+
+    def accumulate_histogram(self, nodes: Sequence[NodeId]) -> Optional[Histogram]:
+        """Merge per-brick histograms (HistogramFilter.cpp:44-129)."""
+        total: Optional[Histogram] = None
+        for node in nodes:
+            def loader(cache_id, node=node):
+                data = self.data_cache.load(cache_id).value
+                h = compute_brick_histogram(
+                    data, self.info.overlap, self.info.data_type,
+                    data_range=self.data_source_range
+                    if not self.info.data_type.is_float
+                    else None,
+                )
+                return h, h.bins.nbytes
+
+            try:
+                h = self.histogram_cache.load(node.id, loader=loader).value
+            except CacheLoadError:
+                continue
+            if total is None:
+                total = Histogram(h.bins.copy(), h.min_value, h.max_value)
+            else:
+                try:
+                    total += h
+                except ValueError:
+                    # Incompatible ranges while the global range converges:
+                    # purge and skip (HistogramFilter.cpp:111-129).
+                    self.histogram_cache.purge(node.id)
+        return total
+
+    def _sort_nodes(self, nodes: Sequence[NodeId], eye: np.ndarray) -> List[NodeId]:
+        if not nodes:
+            return []
+        wmin = np.stack([self.datasource.get_node(n).world_box_min for n in nodes])
+        wmax = np.stack([self.datasource.get_node(n).world_box_max for n in nodes])
+        order = raycast.sort_bricks_front_to_back(wmin, wmax, eye)
+        return [nodes[i] for i in order]
+
+    def _max_steps(self, nodes: Sequence[NodeId], params: RenderParams) -> int:
+        if not nodes:
+            return 1
+        diag = 0.0
+        for n in nodes:
+            ln = self.datasource.get_node(n)
+            diag = max(
+                diag,
+                float(
+                    np.linalg.norm(
+                        np.asarray(ln.world_box_max) - np.asarray(ln.world_box_min)
+                    )
+                ),
+            )
+        return int(math.ceil(diag / params.step_size)) + 4

@@ -1,0 +1,173 @@
+"""End-to-end RenderEngine tests: selection → cache → atlas → multipass
+raycast must equal a direct raycast over the same bricks, multipass must be
+exact, async mode must converge to the sync image, and the rendering-set
+ancestor fallback must degrade gracefully (GLRaycastPipeline.cpp semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libre_tpu.core.frustum import Frustum, look_at, perspective
+from libre_tpu.core.nodeid import NodeId
+from libre_tpu.data.datasource import DataSource, load_plugins
+from libre_tpu.ops import raycast
+from libre_tpu.ops.reference import BrickSet, Camera, RenderParams
+from libre_tpu.render.engine import RenderEngine, compute_rendering_set
+
+load_plugins()
+
+W = H = 64
+URI = "mem://#64,64,64,16?pattern=gradient&datatype=uint8"
+PARAMS = RenderParams(
+    n_samples_per_ray=64, data_source_range=(0.0, 255.0), filter_mode="trilinear"
+)
+
+
+@pytest.fixture(scope="module")
+def view():
+    proj = perspective(50.0, W / H, 0.1, 15.0)
+    mv = look_at([0.3, 0.2, 1.5], [0, 0, 0], [0, 1, 0])
+    frustum = Frustum(mv, proj)
+    camera = Camera(
+        inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(np.float32),
+        inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
+        viewport=(0, 0, W, H),
+        near=frustum.near,
+    )
+    return camera, frustum
+
+
+@pytest.fixture()
+def engine():
+    return RenderEngine(DataSource(URI), max_gpu_cache_mb=64)
+
+
+def _direct_image(engine, camera, frustum, sse):
+    """Reference result: raycast all selected bricks straight from the
+    datasource, bypassing the cache/atlas/multipass machinery."""
+    nodes = engine.select(frustum, H, sse)
+    eye = np.asarray(camera.inv_mv)[:3, 3]
+    nodes = engine._sort_nodes(nodes, eye)
+    ds = engine.datasource
+    data = jnp.stack(
+        [jnp.asarray(ds.get_data(n), jnp.float32) for n in nodes]
+    )
+    n = len(nodes)
+    bricks = BrickSet(
+        data=data,
+        world_min=jnp.asarray(
+            np.stack([ds.get_node(x).world_box_min for x in nodes]), jnp.float32
+        ),
+        world_max=jnp.asarray(
+            np.stack([ds.get_node(x).world_box_max for x in nodes]), jnp.float32
+        ),
+        tex_min=jnp.asarray(np.tile(engine._tex_min, (n, 1))),
+        tex_max=jnp.asarray(np.tile(engine._tex_max, (n, 1))),
+    )
+    half = np.asarray(engine.info.world_size, np.float32) * 0.5
+    img = raycast.render(
+        bricks, engine.transfer_function, camera, PARAMS, -half, half
+    )
+    return np.asarray(img), len(nodes)
+
+
+def test_sync_render_matches_direct(engine, view):
+    camera, frustum = view
+    sse = 1.0  # fine LOD → several bricks
+    direct, n_bricks = _direct_image(engine, camera, frustum, sse)
+    assert n_bricks > 1, "test scene should select multiple bricks"
+    img, stats, _ = engine.render(
+        camera, frustum, params=PARAMS, screen_space_error=sse, synchronous=True
+    )
+    assert stats.rendering_done
+    assert stats.n_available == n_bricks
+    assert np.asarray(img)[..., 3].max() > 0.1, "image should not be empty"
+    np.testing.assert_allclose(np.asarray(img), direct, atol=1e-5, rtol=1e-4)
+
+
+def test_multipass_exact(view):
+    """A starved atlas forces multiple passes; the carried (rgb, a) makes
+    them compose exactly like a single pass (GLRaycastPipeline.cpp:148-186)."""
+    camera, frustum = view
+    big = RenderEngine(DataSource(URI), max_gpu_cache_mb=64)
+    brick_mb = int(np.prod(big.info.maximum_block_size)) * 4 / 2**20
+    starved = RenderEngine(
+        DataSource(URI), max_gpu_cache_mb=max(1, int(np.ceil(brick_mb * 3)))
+    )
+    img1, stats1, _ = big.render(
+        camera, frustum, params=PARAMS, screen_space_error=1.0, synchronous=True
+    )
+    imgN, statsN, _ = starved.render(
+        camera, frustum, params=PARAMS, screen_space_error=1.0, synchronous=True
+    )
+    assert statsN.n_passes > stats1.n_passes >= 1
+    np.testing.assert_allclose(np.asarray(imgN), np.asarray(img1), atol=1e-6)
+
+
+def test_async_progressive_refinement(engine, view):
+    camera, frustum = view
+    img_sync, _, _ = engine.render(
+        camera, frustum, params=PARAMS, screen_space_error=1.0, synchronous=True
+    )
+    cold = RenderEngine(DataSource(URI), max_gpu_cache_mb=64)
+    img, stats, _ = cold.render(
+        camera, frustum, params=PARAMS, screen_space_error=1.0, synchronous=False
+    )
+    assert not stats.rendering_done  # nothing resident yet
+    for _ in range(100):
+        img, stats, _ = cold.render(
+            camera, frustum, params=PARAMS, screen_space_error=1.0, synchronous=False
+        )
+        if stats.rendering_done:
+            break
+    assert stats.rendering_done
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_sync), atol=1e-6)
+
+
+def test_rendering_set_ancestor_fallback(engine, view):
+    """Missing bricks substitute their nearest loaded ancestor, deduped
+    (RenderingSetGeneratorFilter.ipp:27-134)."""
+    camera, frustum = view
+    visibles = engine.select(frustum, H, 1.0)
+    assert len(visibles) > 1
+    root = visibles[0].root()
+
+    # Nothing loaded → empty set, not done.
+    chosen, done = compute_rendering_set(visibles, lambda n: False)
+    assert chosen == [] and not done
+
+    # Only the root loaded → every visible falls back to it, deduped to one.
+    chosen, done = compute_rendering_set(visibles, lambda n: n.id == root.id)
+    assert [c.id for c in chosen] == [root.id] and not done
+
+    # Everything loaded → identity.
+    chosen, done = compute_rendering_set(visibles, lambda n: True)
+    assert [c.id for c in chosen] == [v.id for v in visibles] and done
+
+
+def test_histogram_accumulates_interior_voxels(engine, view):
+    camera, frustum = view
+    _, stats, hist = engine.render(
+        camera,
+        frustum,
+        params=PARAMS,
+        screen_space_error=1.0,
+        synchronous=True,
+        collect_histogram=True,
+    )
+    assert hist is not None
+    block = engine.info.maximum_block_size
+    overlap = engine.info.overlap
+    interior = int(np.prod([b - 2 * o for b, o in zip(block, overlap)]))
+    assert hist.sum == stats.n_available * interior
+
+
+def test_texture_cache_eviction_returns_slots(view):
+    camera, frustum = view
+    brick_mb = 40 * 40 * 40 * 4 / 2**20
+    eng = RenderEngine(
+        DataSource(URI), max_gpu_cache_mb=max(1, int(np.ceil(brick_mb * 3)))
+    )
+    eng.render(camera, frustum, params=PARAMS, screen_space_error=1.0)
+    # All slots either free or tracked by the texture cache — none leaked.
+    assert eng.atlas.free_slots + len(eng.texture_cache) == eng.atlas.n_slots
