@@ -1,0 +1,66 @@
+"""The over operator on partial ray segments, and ordered reductions.
+
+Front-to-back emission-absorption compositing is associative: two adjacent
+ray segments with premultiplied (rgb, a) states compose as
+
+    over((rgb_f, a_f), (rgb_b, a_b)) = (rgb_f + (1-a_f)·rgb_b,
+                                        a_f  + (1-a_f)·a_b)
+
+— the exact operation eq::Compositor::blendFrames performs on the
+view-ordered partial images of a DB (sort-last) decomposition
+(livre/eq/Channel.cpp:444-533, orderFrames :535-586).  Associativity is
+what lets ray segments be marched independently per device and reduced
+along a mesh axis, structurally identical to blockwise/ring-attention
+partial-state combination (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Segment = Tuple[jnp.ndarray, jnp.ndarray]  # rgb (..., 3), a (...)
+
+
+def over(front: Segment, back: Segment) -> Segment:
+    """Compose two ray segments, ``front`` nearer to the eye."""
+    rgb_f, a_f = front
+    rgb_b, a_b = back
+    t = 1.0 - a_f
+    return rgb_f + t[..., None] * rgb_b, a_f + t * a_b
+
+
+def fold_over(rgb_parts: jnp.ndarray, a_parts: jnp.ndarray) -> Segment:
+    """Fold (D, R, 3)/(D, R) partials in index order (index 0 frontmost).
+
+    Uses a balanced associative reduction so the depth is log D and XLA
+    can fuse the small combine stages.
+    """
+    d = rgb_parts.shape[0]
+    if d == 1:
+        return rgb_parts[0], a_parts[0]
+    segs = [(rgb_parts[i], a_parts[i]) for i in range(d)]
+    while len(segs) > 1:
+        nxt = []
+        for i in range(0, len(segs) - 1, 2):
+            nxt.append(over(segs[i], segs[i + 1]))
+        if len(segs) % 2:
+            nxt.append(segs[-1])
+        segs = nxt
+    return segs[0]
+
+
+def composite_along_axis(rgb: jnp.ndarray, a: jnp.ndarray, axis_name: str) -> Segment:
+    """Ordered over-reduce of per-device partial segments along a mesh axis.
+
+    Must be called inside shard_map with ``axis_name`` mapped.  Device i's
+    segment is assumed frontmost for the lowest axis index (the caller
+    assigns brick ranges in front-to-back order, the analog of
+    Channel::orderFrames' view-dependent frame ordering).  Implemented as
+    all_gather + log-depth fold; the result is replicated along the axis.
+    """
+    rgb_parts = jax.lax.all_gather(rgb, axis_name)  # (D, R, 3)
+    a_parts = jax.lax.all_gather(a, axis_name)  # (D, R)
+    return fold_over(rgb_parts, a_parts)
