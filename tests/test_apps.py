@@ -1,0 +1,123 @@
+"""App-layer tests: steering HTTP endpoints (communicator.cpp semantics),
+event handlers (KeyboardHandler/ChannelPointerHandler), batch frame
+partitioning (livre_batch.py), and image encoding (FrameGrabber)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from libre_tpu.apps.batch import missing_frame_ranges, split_range
+from libre_tpu.apps.steering import SteeringServer
+from libre_tpu.core.events import (
+    BUTTON_DOLLY,
+    BUTTON_ORBIT,
+    EventMapper,
+    KeyboardHandler,
+    PointerHandler,
+)
+from libre_tpu.core.settings import FrameData
+from libre_tpu.utils.image import encode_jpeg, encode_png, write_image
+
+
+def _req(url, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    with urllib.request.urlopen(req, timeout=5) as resp:
+        ct = resp.headers.get("Content-Type", "")
+        raw = resp.read()
+    return json.loads(raw) if "json" in ct else raw
+
+
+def test_steering_server_roundtrip():
+    fd = FrameData()
+    changes = []
+    server = SteeringServer(
+        fd,
+        render_jpeg=lambda: encode_jpeg(np.zeros((8, 8, 4), np.float32)),
+        on_change=lambda: changes.append(1),
+    ).start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        _req(f"{base}/camera", "PUT", {"position": [1, 2, 3]})
+        cam = _req(f"{base}/camera")
+        assert cam["modelview"][0][3] == 1.0 and cam["modelview"][2][3] == 3.0
+
+        _req(f"{base}/colormap", "PUT", {"rgba": [[0, 0, 0, 0], [1, 1, 1, 1]]})
+        assert fd.render_settings.color_map.shape == (2, 4)
+
+        _req(f"{base}/params", "PUT", {"sse": 1.5})
+        assert _req(f"{base}/params")["sse"] == 1.5
+
+        _req(f"{base}/frame", "PUT", {"frame_number": 42})
+        assert fd.frame_settings.frame_number == 42
+
+        jpeg = _req(f"{base}/image-jpeg", "POST", {})
+        assert jpeg[:2] == b"\xff\xd8"  # JPEG SOI
+        assert len(changes) == 4
+    finally:
+        server.stop()
+
+
+def test_keyboard_handler():
+    fd = FrameData()
+    resets = []
+    kh = KeyboardHandler(fd, reset_camera=lambda: resets.append(1))
+    assert kh("5") and fd.render_settings.max_tree_depth == 5
+    assert kh("+") and fd.render_settings.max_tree_depth == 6
+    assert kh("-") and fd.render_settings.max_tree_depth == 5
+    assert kh("s") and fd.frame_settings.statistics
+    assert kh("i") and fd.frame_settings.show_info
+    assert kh("p") and fd.frame_settings.screenshot_number == 1
+    assert kh(" ") and resets == [1]
+    assert not kh("q")
+
+
+def test_pointer_handler():
+    fd = FrameData()
+    ph = PointerHandler(fd)
+    mv0 = fd.camera_settings.get_modelview_matrix().copy()
+    assert ph.motion(10, 5, BUTTON_ORBIT)
+    assert not np.allclose(fd.camera_settings.get_modelview_matrix(), mv0)
+    z0 = fd.camera_settings.get_modelview_matrix()[2, 3]
+    assert ph.motion(0, -10, BUTTON_DOLLY)
+    assert fd.camera_settings.get_modelview_matrix()[2, 3] != z0
+    assert ph.wheel(0, 1)
+
+
+def test_event_mapper():
+    m = EventMapper(factory=lambda eid: (lambda: True) if eid == 7 else None)
+    assert m.register_event(7)
+    assert not m.register_event(7)  # duplicate
+    assert m.handle_event(7)
+    assert not m.handle_event(8)
+    assert m.unregister_event(7) and not m.unregister_event(7)
+
+
+def test_batch_partitioning(tmp_path):
+    # livre_batch.py: missing-frame detection + rebalanced job split.
+    out = str(tmp_path)
+    for i in (0, 1, 5):
+        (tmp_path / f"frame_{i:06d}.png").write_bytes(b"x")
+    ranges = missing_frame_ranges(out, "frame_", 0, 8)
+    assert ranges == [(2, 5), (6, 8)]
+    assert split_range(0, 10, 4) == [(0, 4), (4, 8), (8, 10)]
+    assert split_range(0, 9, 4) == [(0, 3), (3, 6), (6, 9)]
+
+
+def test_image_roundtrip(tmp_path):
+    img = np.random.default_rng(0).random((16, 16, 4)).astype(np.float32)
+    png = encode_png(img)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    from PIL import Image
+    import io
+
+    arr = np.asarray(Image.open(io.BytesIO(png)))
+    np.testing.assert_array_equal(
+        arr, (np.clip(img[::-1], 0, 1) * 255 + 0.5).astype(np.uint8)
+    )
+    p = tmp_path / "t.jpg"
+    write_image(str(p), img)
+    assert p.read_bytes()[:2] == b"\xff\xd8"
