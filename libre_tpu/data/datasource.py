@@ -90,6 +90,11 @@ class DataSourcePlugin:
         """Return the padded brick, shape (Z, Y, X), native dtype."""
         raise NotImplementedError
 
+    def get_data_batch(self, lod_nodes: List[LODNode]) -> List[np.ndarray]:
+        """Batch brick fetch; plugins with fast parallel IO (native
+        brickio) override this — the default is serial ``get_data``."""
+        return [self.get_data(n) for n in lod_nodes]
+
     def update(self) -> bool:
         """Streaming sources may refresh metadata; returns True on change."""
         return False
@@ -125,6 +130,12 @@ class DataSource:
         if isinstance(node, NodeId):
             node = self.get_node(node)
         return self._plugin.get_data(node)
+
+    def get_data_batch(self, nodes) -> List[np.ndarray]:
+        lod_nodes = [
+            self.get_node(n) if isinstance(n, NodeId) else n for n in nodes
+        ]
+        return self._plugin.get_data_batch(lod_nodes)
 
     def update(self) -> bool:
         return self._plugin.update()

@@ -160,6 +160,7 @@ class LODStoreDataSource(DataSourcePlugin):
             hlen = int.from_bytes(f.read(8), "little")
             header = json.loads(f.read(hlen))
         self._blob_base = 16 + hlen
+        self._path = path
         self._mmap = np.memmap(path, dtype=np.uint8, mode="r")
         self._toc = {int(k): v for k, v in header["toc"].items()}
         self._compressed = header["compressed"]
@@ -193,3 +194,37 @@ class LODStoreDataSource(DataSourcePlugin):
         padded = self.volume_info.maximum_block_size
         arr = np.frombuffer(buf, dtype=self.volume_info.data_type.numpy_dtype)
         return arr.reshape(padded[2], padded[1], padded[0])
+
+    def get_data_batch(self, lod_nodes) -> list:
+        """Parallel batch read through the native mmap+zlib reader
+        (native/brickio.cpp; the multithreaded analog of the 4-thread
+        upload sharding, GLRenderUploadFilter.cpp:79-107).  Falls back to
+        serial Python reads if the native library is unavailable."""
+        from libre_tpu.data import native_io
+
+        if not lod_nodes:
+            return []
+        entries = []
+        for n in lod_nodes:
+            e = self._toc.get(n.node_id.id)
+            if e is None:
+                raise KeyError(f"brick {n.node_id} not in store")
+            entries.append(e)
+        raw_sizes = {e[2] for e in entries}
+        if not native_io.available() or len(raw_sizes) != 1:
+            return [self.get_data(n) for n in lod_nodes]
+        raw_nbytes = raw_sizes.pop()
+        out = native_io.read_bricks(
+            self._path,
+            self._blob_base,
+            [e[0] for e in entries],
+            [e[1] for e in entries],
+            raw_nbytes,
+            self._compressed,
+        )
+        padded = self.volume_info.maximum_block_size
+        dtype = self.volume_info.data_type.numpy_dtype
+        return [
+            out[i].view(dtype).reshape(padded[2], padded[1], padded[0])
+            for i in range(len(lod_nodes))
+        ]
