@@ -20,3 +20,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by XLA:CPU compiles
+# of scan-heavy render graphs; caching makes re-runs minutes faster.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_libre_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
