@@ -1,0 +1,172 @@
+"""Interactive render service: engine + steering server + frame loop.
+
+The app-node Client/Config loop of the reference (livre/eq/Client.cpp:
+146-258, Config.cpp:329-372) reduced to its TPU-native core: a
+RenderEngine owns the data/atlas/caches, a SteeringServer exposes the
+FrameData over HTTP, and the frame loop renders when steering events
+invalidate the image (the REDRAW event path) or animation advances.
+
+    python -m libre_tpu.apps.serve --volume mem://#64,64,64,16 \\
+        --port 8080 --width 512 --height 512
+
+Then:  curl -X PUT -d '{"position": [0,0,2]}' localhost:8080/camera
+       curl -X POST localhost:8080/image-jpeg > frame.jpg
+       curl -X POST localhost:8080/exit
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+class RenderService:
+    """Wires FrameData + engine + steering into a render-on-demand loop."""
+
+    def __init__(
+        self,
+        volume_uri: str,
+        width: int = 512,
+        height: int = 512,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_gpu_cache_mb: int = 3072,
+        max_cpu_cache_mb: int = 8192,
+    ):
+        import jax.numpy as jnp
+
+        from libre_tpu.apps.steering import SteeringServer
+        from libre_tpu.core.frustum import Frustum, perspective
+        from libre_tpu.core.settings import FrameData
+        from libre_tpu.data.datasource import DataSource, load_plugins
+        from libre_tpu.render.engine import RenderEngine
+
+        load_plugins()
+        self.width, self.height = width, height
+        self.engine = RenderEngine(
+            DataSource(volume_uri),
+            max_gpu_cache_mb=max_gpu_cache_mb,
+            max_cpu_cache_mb=max_cpu_cache_mb,
+            filter_mode="trilinear",
+        )
+        self.frame_data = FrameData()
+        self.frame_data.volume_settings.uri = volume_uri
+        self.frame_data.camera_settings.set_camera_position([0.0, 0.0, 1.5])
+        self.frame_data.camera_settings.set_camera_look_at([0.0, 0.0, 0.0])
+        self._proj = perspective(50.0, width / height, 0.1, 15.0)
+        self._dirty = threading.Event()
+        self._dirty.set()
+        self._running = True
+        self._histogram: Optional[dict] = None
+        self._jnp = jnp
+
+        self.server = SteeringServer(
+            self.frame_data,
+            host=host,
+            port=port,
+            render_jpeg=self.render_jpeg,
+            get_histogram=lambda: self._histogram,
+            on_change=self._dirty.set,
+            on_exit=self.stop,
+        )
+
+    # ----------------------------------------------------------- render
+    def render_frame(self) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from libre_tpu.core.frustum import Frustum
+        from libre_tpu.ops.reference import Camera
+
+        fd = self.frame_data
+        mv = fd.camera_settings.get_modelview_matrix()
+        frustum = Frustum(mv, self._proj)
+        camera = Camera(
+            inv_proj=np.linalg.inv(self._proj.astype(np.float64)).astype(
+                np.float32
+            ),
+            inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
+            viewport=(0, 0, self.width, self.height),
+            near=frustum.near,
+        )
+        self.engine.transfer_function = jnp.asarray(
+            fd.render_settings.color_map, jnp.float32
+        )
+        p = self.server.params
+        frame = fd.frame_settings.frame_number
+        img, stats, hist = self.engine.render(
+            camera,
+            frustum,
+            screen_space_error=float(p.get("sse", 4.0)),
+            min_lod=int(p.get("min_lod", 0)),
+            max_lod=min(
+                int(p.get("max_lod", 15)), fd.render_settings.max_tree_depth
+            ),
+            clip_planes=fd.render_settings.clip_planes
+            if fd.render_settings.clip_planes.planes
+            else None,
+            time_step=0 if frame == 0xFFFFFFFF else frame,
+            synchronous=bool(p.get("synchronous", True)),
+            collect_histogram=True,
+        )
+        if hist is not None:
+            self._histogram = {
+                "bins": np.asarray(hist.bins).tolist(),
+                "min": float(hist.min_value),
+                "max": float(hist.max_value),
+            }
+        return np.asarray(img)
+
+    def render_jpeg(self) -> bytes:
+        from libre_tpu.utils.image import encode_jpeg
+
+        return encode_jpeg(self.render_frame())
+
+    # ------------------------------------------------------------- loop
+    def run(self, max_frames: Optional[int] = None) -> int:
+        self.server.start()
+        host, port = self.server.address
+        print(f"steering server on http://{host}:{port}", flush=True)
+        rendered = 0
+        while self._running and (max_frames is None or rendered < max_frames):
+            if not self._dirty.wait(timeout=0.25):
+                continue
+            self._dirty.clear()
+            t0 = time.perf_counter()
+            self.render_frame()
+            rendered += 1
+            print(
+                f"frame {rendered} rendered in "
+                f"{time.perf_counter() - t0:.2f} s",
+                flush=True,
+            )
+        return rendered
+
+    def stop(self) -> None:
+        self._running = False
+        self._dirty.set()
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description="Interactive render service")
+    p.add_argument("--volume", required=True)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-frames", type=int, default=None)
+    args = p.parse_args(argv)
+    service = RenderService(
+        args.volume, args.width, args.height, args.host, args.port
+    )
+    service.run(args.max_frames)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
