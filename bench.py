@@ -26,13 +26,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, iters=20):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+def timed(fn, *args, iters=5):
+    """Min-of-iters with a block per call: pipelined measurement (block
+    only on the last dispatch) under-reports on the remote-execution
+    platform, so force each call to completion."""
+    jax.block_until_ready(fn(*args))
+    ts = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def main():

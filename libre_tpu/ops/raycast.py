@@ -5,10 +5,16 @@ grid, same half-open brick membership, same opacity-corrected compositing
 and early termination — fragRaycast.glsl:113-215), but organized for TPU
 throughput instead of per-sample clarity:
 
+  * **structure-of-arrays layout**: every materialized tensor is (rays,
+    chunk) or (rays,) — never (rays, chunk, 3/4).  TPU tiles pad the
+    trailing dimension to 128 lanes, so an (R, C, 3) position tensor or
+    (R, C, 4) RGBA tensor costs 42× its logical bytes in HBM traffic at
+    every fusion boundary (measured: the AoS formulation ran ~1000× off
+    roofline on v5e); x/y/z and r/g/b/a live in separate (R, C) arrays;
   * samples are processed in (rays × chunk) blocks so the density fetch is
-    ONE large batched gather per chunk — XLA:TPU's vectorized VMEM gather
-    sustains ~370G elements/s from a VMEM-resident brick (measured,
-    benchmarks/probe_gather.py), vs ~50 µs fixed cost for tiny gathers;
+    a large batched gather per trilinear corner — XLA:TPU's vectorized
+    gather sustains hundreds of G elem/s from a cached brick
+    (benchmarks/probe_gather.py, probe_pallas_gather.py);
   * per-chunk compositing uses exclusive cumulative transmittance products
     instead of a serial per-sample scan: over-compositing is associative,
     so the chunk's contribution folds into the carried (rgb, a) in closed
@@ -18,7 +24,7 @@ throughput instead of per-sample clarity:
     alpha *before* it exceeds the threshold, which is computable from the
     unmasked prefix transmittance because alpha is monotone (see
     ``_composite_chunk``);
-  * per-brick work is wrapped in ``jax.checkpoint`` so reverse-mode AD
+  * per-brick work can be wrapped in ``jax.checkpoint`` so reverse-mode AD
     recomputes chunks instead of saving O(rays × samples) residuals.
 
 The brick loop is a Python loop (unrolled at trace time): brick counts per
@@ -38,7 +44,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from libre_tpu.ops import rays as ray_ops
-from libre_tpu.ops import transfer_function as tf_ops
 from libre_tpu.ops.reference import (
     ALPHA_CLAMP,
     BrickSet,
@@ -46,22 +51,29 @@ from libre_tpu.ops.reference import (
     RenderParams,
 )
 
+# Carry: (r, g, b, a) premultiplied channels, each (R,).
+Carry = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+
 
 def _exclusive_cumprod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """prod_{j<i} x_j along ``axis`` (1 at index 0)."""
     cp = jnp.cumprod(x, axis=axis)
     one = jnp.ones_like(jnp.take(cp, jnp.asarray([0]), axis=axis))
-    return jnp.concatenate([one, jax.lax.slice_in_dim(cp, 0, x.shape[axis] - 1, axis=axis)], axis=axis)
+    return jnp.concatenate(
+        [one, jax.lax.slice_in_dim(cp, 0, x.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
 
 
 def _composite_chunk(
-    rgb: jnp.ndarray,  # (R, 3) carried premultiplied color
-    a: jnp.ndarray,  # (R,) carried alpha
-    src: jnp.ndarray,  # (R, C, 4) chunk TF samples
+    carry: Carry,
+    src_r: jnp.ndarray,  # (R, C) chunk TF channels
+    src_g: jnp.ndarray,
+    src_b: jnp.ndarray,
     alpha_corrected: jnp.ndarray,  # (R, C) opacity-corrected per-sample alpha
     valid: jnp.ndarray,  # (R, C) membership mask
     early_exit: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Carry:
     """Fold one chunk of samples into the carry, in closed form.
 
     Equivalent to compositing the samples serially front-to-back with the
@@ -69,6 +81,7 @@ def _composite_chunk(
     it exceeds ``early_exit``).  Monotonicity of alpha makes the exact
     early-exit mask computable from the *unmasked* prefix transmittance.
     """
+    r, g, b, a = carry
     alpha_v = alpha_corrected * valid.astype(alpha_corrected.dtype)
     t_excl_u = _exclusive_cumprod(1.0 - alpha_v, axis=1)  # (R, C)
     global_before = a[:, None] + (1.0 - a[:, None]) * (1.0 - t_excl_u)
@@ -76,56 +89,80 @@ def _composite_chunk(
     alpha_eff = alpha_v * m.astype(alpha_v.dtype)
     t_excl = _exclusive_cumprod(1.0 - alpha_eff, axis=1)
     w = alpha_eff * t_excl  # per-sample weight within the chunk
-    chunk_rgb = jnp.einsum("rc,rcd->rd", w, src[..., :3])
     chunk_trans = jnp.prod(1.0 - alpha_eff, axis=1)
     one_minus_a = 1.0 - a
-    rgb = rgb + one_minus_a[:, None] * chunk_rgb
+    r = r + one_minus_a * jnp.sum(w * src_r, axis=1)
+    g = g + one_minus_a * jnp.sum(w * src_g, axis=1)
+    b = b + one_minus_a * jnp.sum(w * src_b, axis=1)
     a = a + one_minus_a * (1.0 - chunk_trans)
-    return rgb, a
+    return r, g, b, a
 
 
-def _fetch_nearest(brick_flat, tex_pos, dims_xyz):
-    dims = jnp.asarray(dims_xyz, jnp.float32)
-    idx = jnp.clip(
-        jnp.floor(tex_pos * dims).astype(jnp.int32),
-        0,
-        jnp.asarray([d - 1 for d in dims_xyz], jnp.int32),
-    )
-    flat = (idx[..., 2] * dims_xyz[1] + idx[..., 1]) * dims_xyz[0] + idx[..., 0]
-    return jnp.take(brick_flat, flat, axis=0)
+def _tf_lookup_channels(tf: jnp.ndarray, density: jnp.ndarray):
+    """GL linear 1-D TF lookup, channelwise: (T, 4) × (R, C) → 4× (R, C).
+
+    Same math as transfer_function.lookup but gathering each channel from
+    a flat (T,) table so no (R, C, 4) tensor is materialized.
+    """
+    n = tf.shape[0]
+    s = jnp.clip(density, 0.0, 1.0) * n - 0.5
+    s = jnp.clip(s, 0.0, float(n - 1))
+    i0f = jnp.floor(s)
+    w = s - i0f
+    i0 = i0f.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    out = []
+    for c in range(4):
+        chan = tf[:, c]
+        out.append(jnp.take(chan, i0) * (1.0 - w) + jnp.take(chan, i1) * w)
+    return out
 
 
-def _fetch_trilinear(brick_flat, tex_pos, dims_xyz):
-    dims = jnp.asarray(dims_xyz, jnp.float32)
-    s = tex_pos * dims - 0.5
-    s = jnp.clip(s, 0.0, dims - 1.0)
-    i0 = jnp.floor(s).astype(jnp.int32)
-    hi = jnp.asarray([d - 1 for d in dims_xyz], jnp.int32)
-    i1 = jnp.minimum(i0 + 1, hi)
-    w = s - jnp.floor(s)
-    nx, ny = dims_xyz[0], dims_xyz[1]
+def _fetch_nearest(brick_flat, tex_x, tex_y, tex_z, dims_xyz):
+    bx, by, bz = dims_xyz
+    ix = jnp.clip(jnp.floor(tex_x * bx).astype(jnp.int32), 0, bx - 1)
+    iy = jnp.clip(jnp.floor(tex_y * by).astype(jnp.int32), 0, by - 1)
+    iz = jnp.clip(jnp.floor(tex_z * bz).astype(jnp.int32), 0, bz - 1)
+    flat = (iz * by + iy) * bx + ix
+    return jnp.take(brick_flat, flat)
+
+
+def _fetch_trilinear(brick_flat, tex_x, tex_y, tex_z, dims_xyz):
+    bx, by, bz = dims_xyz
+
+    def prep(tex, dim):
+        s = jnp.clip(tex * dim - 0.5, 0.0, dim - 1.0)
+        i0 = jnp.floor(s)
+        w = s - i0
+        i0 = i0.astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, dim - 1)
+        return i0, i1, w
+
+    ix0, ix1, wx = prep(tex_x, bx)
+    iy0, iy1, wy = prep(tex_y, by)
+    iz0, iz1, wz = prep(tex_z, bz)
 
     def flat(ix, iy, iz):
-        return (iz * ny + iy) * nx + ix
+        return (iz * by + iy) * bx + ix
 
     out = 0.0
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                ix = i1[..., 0] if dx else i0[..., 0]
-                iy = i1[..., 1] if dy else i0[..., 1]
-                iz = i1[..., 2] if dz else i0[..., 2]
-                wx = w[..., 0] if dx else 1.0 - w[..., 0]
-                wy = w[..., 1] if dy else 1.0 - w[..., 1]
-                wz = w[..., 2] if dz else 1.0 - w[..., 2]
-                out = out + jnp.take(brick_flat, flat(ix, iy, iz), axis=0) * (
-                    wx * wy * wz
+    for dxb in (0, 1):
+        for dyb in (0, 1):
+            for dzb in (0, 1):
+                ix = ix1 if dxb else ix0
+                iy = iy1 if dyb else iy0
+                iz = iz1 if dzb else iz0
+                wgt = (
+                    (wx if dxb else 1.0 - wx)
+                    * (wy if dyb else 1.0 - wy)
+                    * (wz if dzb else 1.0 - wz)
                 )
+                out = out + jnp.take(brick_flat, flat(ix, iy, iz)) * wgt
     return out
 
 
 def _march_brick(
-    carry,
+    carry: Carry,
     brick,  # (BZ, BY, BX)
     wmin,
     wmax,
@@ -141,8 +178,7 @@ def _march_brick(
     params: RenderParams,
     max_steps: int,
     chunk: int,
-):
-    rgb, a = carry
+) -> Carry:
     step = params.step_size
     lo, hi = params.data_source_range
     mult = 1.0 / (hi - lo)
@@ -157,38 +193,59 @@ def _march_brick(
         jnp.int32
     )
     valid_ray = hit & hit_global
-    tex_scale = tmax - tmin
+
+    # Per-brick scalars / per-ray (R,) arrays, split per axis (SoA).
+    dx, dy, dz = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    ex, ey, ez = eye[0], eye[1], eye[2]
+    wminx, wminy, wminz = wmin[0], wmin[1], wmin[2]
+    wmaxx, wmaxy, wmaxz = wmax[0], wmax[1], wmax[2]
+    # world → padded-texture coords: tex = (p - wmin)/(wmax - wmin) * (tmax
+    # - tmin) + tmin, folded into a single MAD per axis.
+    sx = (tmax[0] - tmin[0]) / (wmaxx - wminx)
+    sy = (tmax[1] - tmin[1]) / (wmaxy - wminy)
+    sz = (tmax[2] - tmin[2]) / (wmaxz - wminz)
+    ox = tmin[0] - wminx * sx
+    oy = tmin[1] - wminy * sy
+    oz = tmin[2] - wminz * sz
 
     n_chunks = -(-max_steps // chunk)
     fetch = _fetch_nearest if params.filter_mode == "nearest" else _fetch_trilinear
 
     def chunk_body(carry, c):
-        rgb, a = carry
         k = c * chunk + jnp.arange(chunk, dtype=jnp.int32)  # (C,)
         n = n0[:, None] + k[None, :]  # (R, C)
         t = tn_global[:, None] + n.astype(jnp.float32) * step
-        pos = eye + dirs[:, None, :] * t[..., None]  # (R, C, 3)
-        inside = jnp.all((pos >= wmin) & (pos < wmax), axis=-1)
+        px = ex + dx[:, None] * t
+        py = ey + dy[:, None] * t
+        pz = ez + dz[:, None] * t
+        inside = (
+            (px >= wminx) & (px < wmaxx)
+            & (py >= wminy) & (py < wmaxy)
+            & (pz >= wminz) & (pz < wmaxz)
+        )
         m = valid_ray[:, None] & inside & (n >= n_start[:, None])
         if clip_bounds is not None:
             t_clip_lo, t_clip_hi = clip_bounds
             m = m & (t >= t_clip_lo[:, None]) & (t < t_clip_hi[:, None])
-        u = (pos - wmin) / (wmax - wmin)
-        tex_pos = u * tex_scale + tmin
-        raw = fetch(brick_flat, tex_pos, (bx, by, bz))
+        tex_x = px * sx + ox
+        tex_y = py * sy + oy
+        tex_z = pz * sz + oz
+        raw = fetch(brick_flat, tex_x, tex_y, tex_z, (bx, by, bz))
         density = jnp.clip(raw * mult + add, 0.0, 1.0)
-        src = tf_ops.lookup(tf, density)  # (R, C, 4)
+        src_r, src_g, src_b, src_a = _tf_lookup_channels(tf, density)
         alpha = 1.0 - jnp.power(
-            1.0 - jnp.minimum(src[..., 3], ALPHA_CLAMP), params.alpha_correction
+            1.0 - jnp.minimum(src_a, ALPHA_CLAMP), params.alpha_correction
         )
-        rgb, a = _composite_chunk(rgb, a, src, alpha, m, params.early_exit)
-        return (rgb, a), None
+        carry = _composite_chunk(
+            carry, src_r, src_g, src_b, alpha, m, params.early_exit
+        )
+        return carry, None
 
     body = jax.checkpoint(chunk_body) if params.remat else chunk_body
-    (rgb, a), _ = jax.lax.scan(
-        body, (rgb, a), jnp.arange(n_chunks, dtype=jnp.int32)
+    carry, _ = jax.lax.scan(
+        body, carry, jnp.arange(n_chunks, dtype=jnp.int32)
     )
-    return rgb, a
+    return carry
 
 
 def render_rays(
@@ -250,13 +307,14 @@ def render_rays(
     order = range(n_bricks) if brick_order is None else [int(i) for i in brick_order]
 
     if init_carry is not None:
-        rgb, a = init_carry
+        rgb0, a0 = init_carry
+        carry = (rgb0[:, 0], rgb0[:, 1], rgb0[:, 2], a0)
     else:
-        rgb = jnp.zeros((dirs.shape[0], 3), jnp.float32)
-        a = jnp.zeros((dirs.shape[0],), jnp.float32)
+        zeros = jnp.zeros((dirs.shape[0],), jnp.float32)
+        carry = (zeros, zeros, zeros, zeros)
     for i in order:
-        rgb, a = _march_brick(
-            (rgb, a),
+        carry = _march_brick(
+            carry,
             bricks.data[i],
             bricks.world_min[i],
             bricks.world_max[i],
@@ -273,7 +331,8 @@ def render_rays(
             max_steps,
             chunk,
         )
-    return jnp.concatenate([rgb, a[:, None]], axis=-1)
+    r, g, b, a = carry
+    return jnp.stack([r, g, b, a], axis=-1)
 
 
 def render(
