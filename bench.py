@@ -1,15 +1,19 @@
 """Driver benchmark: forward raymarch throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the speedup of the production marcher over the plain
-jnp reference marcher on the same chip and workload (the reference
-publishes no quantitative numbers — BASELINE.md — so the framework
-establishes its own baseline pair).
 
-Workload = BASELINE config 1 scaled to a production frame: procedural
-64^3 volume -> 256^2 image, 512 samples/ray, trilinear filtering,
-single-brick raycast.  Diagnostics go to stderr; stdout carries only the
-JSON line.
+Headline = the shear-warp renderer (the MXU-native fast path,
+ops/shearwarp.py) on BASELINE config 1 scaled to a production frame:
+procedural 64^3 volume -> 256^2 image, 512 samples/ray, trilinear.
+``vs_baseline`` is its speedup over the exact gather-based XLA marcher
+(ops/raycast.py) on the same chip and workload — the reference publishes
+no quantitative numbers (BASELINE.md), so the framework's exact path IS
+the baseline.  4 views are rendered per device call to amortize the
+~25 ms remote-dispatch overhead of the bench harness.
+
+Timing forces a host round-trip per iteration (pipelined
+block_until_ready under-reports on the remote-execution platform).
+Diagnostics go to stderr; stdout carries only the JSON line.
 """
 
 import json
@@ -26,44 +30,40 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, iters=5):
-    """Min-of-iters with a block per call: pipelined measurement (block
-    only on the last dispatch) under-reports on the remote-execution
-    platform, so force each call to completion."""
-    jax.block_until_ready(fn(*args))
+def timed_scalar(fn, *args, iters=3):
+    """Min wall time of fn(*args) forced to a host scalar each call."""
+    float(fn(*args))  # compile + warm
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
 
-def main():
+def make_camera(eye, img, near=0.1, far=15.0):
     from libre_tpu.core.frustum import look_at, perspective
-    from libre_tpu.ops import raycast, transfer_function as tf_ops
-    from libre_tpu.ops.reference import (
-        Camera,
-        RenderParams,
-        render_reference,
-        single_brick_set,
-    )
+    from libre_tpu.ops.reference import Camera
 
-    log("devices:", jax.devices())
-    img, n_vox, spr = 256, 64, 512
-    near, far = 0.1, 15.0
     proj = perspective(50.0, 1.0, near, far)
-    mv = look_at([0, 0, 1.0], [0, 0, 0], [0, 1, 0])
-    cam = Camera(
+    mv = look_at(eye, [0, 0, 0], [0, 1, 0])
+    return Camera(
         inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(np.float32),
         inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
         viewport=(0, 0, img, img),
         near=near,
     )
+
+
+def main():
+    from libre_tpu.ops import raycast, shearwarp, transfer_function as tf_ops
+    from libre_tpu.ops.reference import RenderParams, single_brick_set
+
+    log("devices:", jax.devices())
+    img, n_vox, spr = 256, 64, 512
     rng = np.random.default_rng(0)
-    vol = rng.random((n_vox,) * 3, dtype=np.float32)
+    vol = jnp.asarray(rng.random((n_vox,) * 3, dtype=np.float32))
     tf = jnp.asarray(tf_ops.default_color_map(256))
-    bricks = single_brick_set(jnp.asarray(vol))
     gmin, gmax = np.float32([-0.5] * 3), np.float32([0.5] * 3)
     max_steps = int(math.ceil(math.sqrt(3.0) * spr)) + 4
     params = RenderParams(
@@ -72,29 +72,45 @@ def main():
         filter_mode="trilinear",
         max_steps_per_brick=max_steps,
     )
-
-    fast = jax.jit(
-        lambda b, t: raycast.render(
-            b, t, cam, params, gmin, gmax, chunk=64, max_steps=max_steps
-        )
-    )
-    ref = jax.jit(
-        lambda b, t: render_reference(b, t, cam, params, gmin, gmax)
-    )
-
     rays = img * img
-    dt_fast = timed(fast, bricks, tf)
-    log(f"fast fwd: {dt_fast * 1e3:.2f} ms, {rays / dt_fast / 1e6:.2f} Mrays/s")
-    dt_ref = timed(ref, bricks, tf, iters=5)
-    log(f"ref  fwd: {dt_ref * 1e3:.2f} ms, {rays / dt_ref / 1e6:.2f} Mrays/s")
+
+    # Shear-warp fast path: 4 views per device call.
+    eyes = [[0.2, 0.1, 1.4], [1.4, 0.1, 0.2], [0.1, 1.4, -0.2], [-0.2, -0.1, -1.4]]
+    cams = [make_camera(e, img) for e in eyes]
+    plans = [shearwarp.make_plan(c) for c in cams]
+    swp = shearwarp.ShearWarpParams(n_planes=spr, inter_size=(img, img))
+
+    def sw_frames(v, t):
+        s = 0.0
+        for cam, plan in zip(cams, plans):
+            s = s + shearwarp.render(
+                v, t, cam, params, gmin, gmax, swp, plan=plan
+            ).sum()
+        return s
+
+    f_sw = jax.jit(sw_frames)
+    dt_sw = timed_scalar(f_sw, vol, tf) / len(cams)
+    log(f"shearwarp fwd: {dt_sw * 1e3:.2f} ms/frame, "
+        f"{rays / dt_sw / 1e6:.2f} Mrays/s")
+
+    # Exact gather-based marcher (the parity oracle path) as baseline.
+    bricks = single_brick_set(vol)
+    f_exact = jax.jit(
+        lambda b, t: raycast.render(
+            b, t, cams[0], params, gmin, gmax, chunk=64, max_steps=max_steps
+        ).sum()
+    )
+    dt_exact = timed_scalar(lambda b, t: f_exact(b, t), bricks, tf, iters=2)
+    log(f"exact fwd: {dt_exact * 1e3:.2f} ms/frame, "
+        f"{rays / dt_exact / 1e6:.4f} Mrays/s")
 
     print(
         json.dumps(
             {
-                "metric": "fwd_raymarch_throughput_1chip",
-                "value": round(rays / dt_fast / 1e6, 3),
+                "metric": "shearwarp_fwd_throughput_1chip",
+                "value": round(rays / dt_sw / 1e6, 3),
                 "unit": "Mrays/s",
-                "vs_baseline": round(dt_ref / dt_fast, 3),
+                "vs_baseline": round(dt_exact / dt_sw, 2),
             }
         )
     )

@@ -1,0 +1,117 @@
+"""Shear-warp renderer: the matmul pipeline must match the gather-based
+plane oracle on the identical sample set (exactness), the full render
+must converge to the arc-length reference marcher (quality), and axis
+selection / warp plumbing must behave."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libre_tpu.core.frustum import look_at, perspective
+from libre_tpu.ops import raycast, shearwarp, transfer_function as tf_ops
+from libre_tpu.ops.reference import Camera, RenderParams, single_brick_set
+from tests.test_reference_marcher import make_volume
+
+W = H = 32
+
+
+def make_camera(eye, center=(0, 0, 0), near=0.1):
+    proj = perspective(50.0, W / H, near, 15.0)
+    mv = look_at(eye, center, [0, 1, 0])
+    return Camera(
+        inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(np.float32),
+        inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
+        viewport=(0, 0, W, H),
+        near=near,
+    )
+
+
+GMIN = np.float32([-0.5] * 3)
+GMAX = np.float32([0.5] * 3)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    volume = jnp.asarray(make_volume(32, seed=3))
+    tf = jnp.asarray(tf_ops.default_color_map(64))
+    return volume, tf
+
+
+PARAMS = RenderParams(
+    n_samples_per_ray=64, data_source_range=(0.0, 1.0), filter_mode="trilinear"
+)
+
+
+def test_major_axis_selection(scene):
+    cam_z = make_camera([0, 0, 1.5])
+    assert shearwarp.choose_major_axis(cam_z) == (2, -1.0)
+    cam_x = make_camera([-1.5, 0.1, 0.0])
+    axis, sign = shearwarp.choose_major_axis(cam_x)
+    assert axis == 0 and sign == 1.0
+
+
+def test_slope_grid_matches_plane_oracle(scene):
+    """The matmul shear pipeline == gather oracle on the same rays."""
+    volume, tf = scene
+    cam = make_camera([0.2, 0.1, 1.4])
+    axis, sign = shearwarp.choose_major_axis(cam)
+    u, v, d_a = shearwarp.pixel_slopes(cam, axis)
+    bounds = shearwarp._slope_bounds(u, v, d_a, sign, 0.02)
+    eye = np.asarray(cam.inv_mv)[:3, 3]
+
+    swp = shearwarp.ShearWarpParams(n_planes=48, inter_size=(24, 20))
+    inter, ug, vg = shearwarp.render_slope_grid(
+        volume, tf, eye, axis, sign, bounds, GMIN, GMAX, PARAMS, swp
+    )
+    # Oracle on exactly the slope-grid rays.
+    uu, vv = jnp.meshgrid(ug, vg, indexing="xy")
+    oracle = shearwarp.plane_oracle(
+        volume, tf, eye, axis, sign,
+        (uu.reshape(-1), vv.reshape(-1)),
+        GMIN, GMAX, PARAMS, 48,
+    ).reshape(*inter.shape)
+    np.testing.assert_allclose(
+        np.asarray(inter), np.asarray(oracle), atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("eye", [[0, 0, 1.5], [1.4, 0.2, 0.1], [0.1, -1.5, 0.2]])
+def test_full_render_converges_to_reference(scene, eye):
+    """At high sampling rates the shear-warp image approaches the
+    arc-length-sampled reference marcher (different sample placement ⇒
+    loose tolerance, tight enough to catch geometry/compositing bugs)."""
+    volume, tf = scene
+    cam = make_camera(eye)
+    params = RenderParams(
+        n_samples_per_ray=128, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear",
+    )
+    ref = raycast.render(
+        single_brick_set(volume), tf, cam, params, GMIN, GMAX, chunk=32
+    )
+    sw = shearwarp.render(
+        volume, tf, cam, params, GMIN, GMAX,
+        shearwarp.ShearWarpParams(n_planes=128, inter_size=(64, 64)),
+    )
+    diff = np.abs(np.asarray(sw) - np.asarray(ref))
+    assert diff.mean() < 0.015, diff.mean()
+    assert np.quantile(diff, 0.95) < 0.08, np.quantile(diff, 0.95)
+
+
+def test_opaque_early_exit(scene):
+    volume, _ = scene
+    tf = jnp.ones((64, 4), jnp.float32) * 0.98
+    cam = make_camera([0, 0, 1.5])
+    sw = shearwarp.render(
+        volume, tf, cam, PARAMS, GMIN, GMAX,
+        shearwarp.ShearWarpParams(n_planes=64, inter_size=(48, 48)),
+    )
+    # Center rays hit the box and saturate.
+    assert float(np.asarray(sw)[H // 2, W // 2, 3]) > 0.99
+    # An opaque box renders close to the reference even at modest
+    # sampling (saturation hides sample-placement differences).
+    ref = raycast.render(
+        single_brick_set(volume), tf, cam, PARAMS, GMIN, GMAX, chunk=32
+    )
+    diff = np.abs(np.asarray(sw) - np.asarray(ref))
+    assert diff.mean() < 0.02, diff.mean()
