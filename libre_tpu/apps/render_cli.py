@@ -121,23 +121,35 @@ def main(argv: Optional[List[str]] = None) -> int:
     t0 = time.perf_counter()
     rendered = 0
     for i in range(n_frames):
-        img, stats, _ = engine.render(
-            camera,
-            frustum,
-            params=params,
-            screen_space_error=vr.screen_space_error,
-            min_lod=vr.min_lod,
-            max_lod=vr.max_lod,
-            time_step=int(frame) if fu.is_valid else 0,
-            synchronous=True,
-        )
+        ts = int(frame) if fu.is_valid else 0
+        if app.renderer == "shearwarp":
+            # MXU fast path over a dense LOD level (ops/shearwarp.py).
+            level = min(vr.max_lod, info.root_node.depth - 1)
+            img = engine.render_shearwarp(
+                camera,
+                level=level,
+                time_step=ts,
+                n_planes=vr.samples_per_ray or None,
+            )
+            detail = f"shearwarp level {level}"
+        else:
+            img, stats, _ = engine.render(
+                camera,
+                frustum,
+                params=params,
+                screen_space_error=vr.screen_space_error,
+                min_lod=vr.min_lod,
+                max_lod=vr.max_lod,
+                time_step=ts,
+                synchronous=True,
+            )
+            detail = (
+                f"{stats.n_render_available} bricks, {stats.n_passes} passes"
+            )
         path = os.path.join(out_dir, f"frame_{frame:06d}.{fmt}")
         write_image(path, np.asarray(img))
         rendered += 1
-        print(
-            f"frame {frame}: {stats.n_render_available} bricks, "
-            f"{stats.n_passes} passes -> {path}"
-        )
+        print(f"frame {frame}: {detail} -> {path}")
         if fu.is_valid:
             frame = fu.get_next(frame, delta)
 

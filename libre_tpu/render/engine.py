@@ -346,6 +346,84 @@ class RenderEngine:
 
         return rgb_a.reshape(vh, vw, 4), stats, histogram
 
+    # ---------------------------------------------------------- shearwarp
+    def _level_volume(self, level: int, time_step: int = 0) -> np.ndarray:
+        """Dense (Z, Y, X) volume of one LOD level, assembled from bricks
+        (cached in the data cache under a synthetic id)."""
+        info = self.info
+        depth = info.root_node.depth
+        shift = depth - 1 - level
+        vx, vy, vz = (max(1, d >> shift) for d in info.voxels)
+        bx, by, bz = info.block_size
+        ox, oy, oz = info.overlap
+
+        def loader(cache_id):
+            vol = np.zeros((vz, vy, vx), np.float32)
+            nodes = []
+            for px in range(max(1, -(-vx // bx))):
+                for py in range(max(1, -(-vy // by))):
+                    for pz in range(max(1, -(-vz // bz))):
+                        nodes.append(
+                            NodeId.from_coords(level, (px, py, pz), time_step)
+                        )
+            bricks = self.datasource.get_data_batch(nodes)
+            for node, brick in zip(nodes, bricks):
+                core = brick[
+                    oz : brick.shape[0] - oz or None,
+                    oy : brick.shape[1] - oy or None,
+                    ox : brick.shape[2] - ox or None,
+                ]
+                px, py, pz = node.position
+                z0, y0, x0 = pz * bz, py * by, px * bx
+                ze, ye, xe = (
+                    min(z0 + core.shape[0], vz),
+                    min(y0 + core.shape[1], vy),
+                    min(x0 + core.shape[2], vx),
+                )
+                vol[z0:ze, y0:ye, x0:xe] = core[: ze - z0, : ye - y0, : xe - x0]
+            return vol, vol.nbytes
+
+        # Synthetic cache id: level volumes share the data cache budget.
+        cache_id = (1 << 62) | (time_step << 8) | level
+        return self.data_cache.load(cache_id, loader=loader).value
+
+    def render_shearwarp(
+        self,
+        camera: Camera,
+        level: Optional[int] = None,
+        time_step: int = 0,
+        n_planes: Optional[int] = None,
+        params: Optional[RenderParams] = None,
+    ) -> jnp.ndarray:
+        """Fast-path frame via the MXU shear-warp renderer
+        (ops/shearwarp.py) over a dense LOD level."""
+        from libre_tpu.ops import shearwarp
+
+        info = self.info
+        if level is None:
+            level = info.root_node.depth - 1
+        if params is None:
+            params = RenderParams(
+                n_samples_per_ray=n_planes or max(max(info.voxels), 256),
+                data_source_range=self.data_source_range,
+                filter_mode="trilinear",
+            )
+        volume = self._level_volume(level, time_step)
+        half = np.asarray(info.world_size, np.float32) * 0.5
+        swp = shearwarp.ShearWarpParams(
+            n_planes=n_planes or params.n_samples_per_ray,
+            inter_size=(camera.viewport[3], camera.viewport[2]),
+        )
+        return shearwarp.render(
+            jnp.asarray(volume),
+            self.transfer_function,
+            camera,
+            params,
+            -half,
+            half,
+            swp,
+        )
+
     def accumulate_histogram(self, nodes: Sequence[NodeId]) -> Optional[Histogram]:
         """Merge per-brick histograms (HistogramFilter.cpp:44-129)."""
         total: Optional[Histogram] = None

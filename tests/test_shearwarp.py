@@ -115,3 +115,38 @@ def test_opaque_early_exit(scene):
     )
     diff = np.abs(np.asarray(sw) - np.asarray(ref))
     assert diff.mean() < 0.02, diff.mean()
+
+
+def test_engine_shearwarp_path():
+    """RenderEngine.render_shearwarp assembles the LOD level and renders
+    close to the exact engine path."""
+    from libre_tpu.core.frustum import Frustum
+    from libre_tpu.data.datasource import DataSource, load_plugins
+    from libre_tpu.render.engine import RenderEngine
+
+    load_plugins()
+    engine = RenderEngine(
+        DataSource("mem://#32,32,32,16?pattern=gradient&datatype=uint8"),
+        max_gpu_cache_mb=64,
+        filter_mode="trilinear",
+    )
+    proj = perspective(50.0, 1.0, 0.1, 15.0)
+    mv = look_at([0.2, 0.1, 1.4], [0, 0, 0], [0, 1, 0])
+    frustum = Frustum(mv, proj)
+    cam = Camera(
+        inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(np.float32),
+        inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
+        viewport=(0, 0, 48, 48),
+        near=frustum.near,
+    )
+    params = RenderParams(
+        n_samples_per_ray=64, data_source_range=(0.0, 255.0),
+        filter_mode="trilinear",
+    )
+    exact, _, _ = engine.render(
+        cam, frustum, params=params, screen_space_error=1.0
+    )
+    sw = engine.render_shearwarp(cam, n_planes=64, params=params)
+    assert sw.shape == exact.shape
+    diff = np.abs(np.asarray(sw) - np.asarray(exact))
+    assert diff.mean() < 0.03, diff.mean()
