@@ -145,3 +145,35 @@ def test_gradients_through_shard_map(scene):
     np.testing.assert_allclose(
         np.asarray(g_sharded[1]), np.asarray(g_single[1]), atol=1e-6, rtol=1e-4
     )
+
+
+def test_shearwarp_sharded_matches_single_device():
+    """Sharded shear-warp (slope rows x plane ranges) == single-device
+    slope grid up to the per-range early-exit caveat."""
+    from libre_tpu.ops import shearwarp, transfer_function as tf_ops
+    from libre_tpu.ops.reference import RenderParams
+    from libre_tpu.parallel.shearwarp_sharded import render_slope_grid_sharded
+    from tests.test_shearwarp import GMIN, GMAX, make_camera
+    from tests.test_reference_marcher import make_volume
+
+    volume = jnp.asarray(make_volume(32, seed=3))
+    tf = jnp.asarray(tf_ops.default_color_map(64))
+    cam = make_camera([0.2, 0.1, 1.4])
+    plan = shearwarp.make_plan(cam)
+    params = RenderParams(
+        n_samples_per_ray=32, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear",
+    )
+    swp = shearwarp.ShearWarpParams(n_planes=32, inter_size=(32, 32))
+    single, _, _ = shearwarp.render_slope_grid(
+        volume, tf, plan.eye, plan.axis, plan.sign, plan.bounds,
+        GMIN, GMAX, params, swp,
+    )
+    mesh = make_mesh(n_brick=2)
+    sharded = render_slope_grid_sharded(
+        mesh, volume, tf, plan.eye, plan.axis, plan.sign, plan.bounds,
+        GMIN, GMAX, params, swp,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=2e-3
+    )

@@ -150,3 +150,47 @@ def test_engine_shearwarp_path():
     assert sw.shape == exact.shape
     diff = np.abs(np.asarray(sw) - np.asarray(exact))
     assert diff.mean() < 0.03, diff.mean()
+
+
+def test_shearwarp_gradients_match_oracle(scene):
+    """Shear-warp is pure jnp ⇒ differentiable; volume/TF gradients must
+    match autodiff of the gather oracle over the same sample set."""
+    import jax
+
+    volume, tf = scene
+    cam = make_camera([0.2, 0.1, 1.4])
+    plan = shearwarp.make_plan(cam)
+    swp = shearwarp.ShearWarpParams(n_planes=24, inter_size=(16, 16))
+    params = RenderParams(
+        n_samples_per_ray=24, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear", early_exit=1.1,
+    )
+
+    def loss_sw(vol, tf_arr):
+        inter, _, _ = shearwarp.render_slope_grid(
+            vol, tf_arr, plan.eye, plan.axis, plan.sign, plan.bounds,
+            GMIN, GMAX, params, swp,
+        )
+        return jnp.mean(inter ** 2)
+
+    ug = jnp.linspace(plan.bounds[0], plan.bounds[1], 16)
+    vg = jnp.linspace(plan.bounds[2], plan.bounds[3], 16)
+    uu, vv = jnp.meshgrid(ug, vg, indexing="xy")
+
+    def loss_oracle(vol, tf_arr):
+        out = shearwarp.plane_oracle(
+            vol, tf_arr, plan.eye, plan.axis, plan.sign,
+            (uu.reshape(-1), vv.reshape(-1)), GMIN, GMAX, params, 24,
+        )
+        return jnp.mean(out.reshape(16, 16, 4) ** 2)
+
+    g_sw = jax.grad(loss_sw, argnums=(0, 1))(volume, tf)
+    g_or = jax.grad(loss_oracle, argnums=(0, 1))(volume, tf)
+    np.testing.assert_allclose(
+        np.asarray(g_sw[0]), np.asarray(g_or[0]), atol=1e-6, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_sw[1]), np.asarray(g_or[1]), atol=1e-6, rtol=1e-3
+    )
+    assert float(jnp.abs(g_sw[0]).sum()) > 0
+    assert float(jnp.abs(g_sw[1]).sum()) > 0
