@@ -120,20 +120,27 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     t0 = time.perf_counter()
     rendered = 0
+    from libre_tpu.render.registry import create_renderer
+
+    renderer = create_renderer(app.renderer)
     for i in range(n_frames):
         ts = int(frame) if fu.is_valid else 0
         if app.renderer == "shearwarp":
             # MXU fast path over a dense LOD level (ops/shearwarp.py).
             level = min(vr.max_lod, info.root_node.depth - 1)
-            img = engine.render_shearwarp(
+            img = renderer.render(
+                engine,
                 camera,
+                frustum,
+                params=params,
                 level=level,
                 time_step=ts,
                 n_planes=vr.samples_per_ray or None,
             )
             detail = f"shearwarp level {level}"
         else:
-            img, stats, _ = engine.render(
+            img = renderer.render(
+                engine,
                 camera,
                 frustum,
                 params=params,
@@ -143,9 +150,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 time_step=ts,
                 synchronous=True,
             )
-            detail = (
-                f"{stats.n_render_available} bricks, {stats.n_passes} passes"
-            )
+            detail = f"{app.renderer} renderer"
         path = os.path.join(out_dir, f"frame_{frame:06d}.{fmt}")
         write_image(path, np.asarray(img))
         rendered += 1
