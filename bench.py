@@ -2,14 +2,18 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline = the shear-warp renderer (the MXU-native fast path,
-ops/shearwarp.py) on BASELINE config 1 scaled to a production frame:
-procedural 64^3 volume -> 256^2 image, 512 samples/ray, trilinear.
-``vs_baseline`` is its speedup over the exact gather-based XLA marcher
-(ops/raycast.py) on the same chip and workload — the reference publishes
-no quantitative numbers (BASELINE.md), so the framework's exact path IS
-the baseline.  4 views are rendered per device call to amortize the
-~25 ms remote-dispatch overhead of the bench harness.
+Headline = the fused Pallas shear-warp kernel (ops/shearwarp_pallas.py)
+on BASELINE config 1 scaled to a production frame: procedural 64^3
+volume -> 256^2 image, 512 samples/ray, trilinear.  ``vs_baseline`` is
+its speedup over the exact gather-based XLA marcher (ops/raycast.py) on
+the same chip and workload — the reference publishes no quantitative
+numbers (BASELINE.md), so the framework's exact path IS the baseline.
+
+Frames are CHAINED inside one jit call (each frame consumes a
+zero-scaled summary of the previous one, defeating CSE) and timing
+reports the marginal per-frame cost between a 2-chain and a 10-chain —
+this cancels the ~25 ms remote-dispatch overhead of the tunneled bench
+platform, which would otherwise dominate a 2.5 ms frame.
 
 Timing forces a host round-trip per iteration (pipelined
 block_until_ready under-reports on the remote-execution platform).
@@ -74,24 +78,31 @@ def main():
     )
     rays = img * img
 
-    # Shear-warp fast path: 4 views per device call.
+    # Fused Pallas shear-warp: marginal frame cost via chained frames.
+    from libre_tpu.ops import shearwarp_pallas
+
     eyes = [[0.2, 0.1, 1.4], [1.4, 0.1, 0.2], [0.1, 1.4, -0.2], [-0.2, -0.1, -1.4]]
     cams = [make_camera(e, img) for e in eyes]
     plans = [shearwarp.make_plan(c) for c in cams]
     swp = shearwarp.ShearWarpParams(n_planes=spr, inter_size=(img, img))
 
-    def sw_frames(v, t):
-        s = 0.0
-        for cam, plan in zip(cams, plans):
-            s = s + shearwarp.render(
-                v, t, cam, params, gmin, gmax, swp, plan=plan
-            ).sum()
-        return s
+    def chained(m):
+        def f(v, t):
+            s = jnp.float32(0.0)
+            for i in range(m):
+                cam, plan = cams[i % 4], plans[i % 4]
+                out = shearwarp_pallas.render(
+                    v + s * 1e-30, t, cam, params, gmin, gmax, swp, plan=plan
+                )
+                s = out.sum()
+            return s
+        return jax.jit(f)
 
-    f_sw = jax.jit(sw_frames)
-    dt_sw = timed_scalar(f_sw, vol, tf) / len(cams)
-    log(f"shearwarp fwd: {dt_sw * 1e3:.2f} ms/frame, "
-        f"{rays / dt_sw / 1e6:.2f} Mrays/s")
+    t2 = timed_scalar(chained(2), vol, tf)
+    t10 = timed_scalar(chained(10), vol, tf)
+    dt_sw = (t10 - t2) / 8
+    log(f"pallas shearwarp fwd: {dt_sw * 1e3:.2f} ms/frame marginal, "
+        f"{rays / dt_sw / 1e6:.2f} Mrays/s (t2={t2*1e3:.1f} t10={t10*1e3:.1f})")
 
     # Exact gather-based marcher (the parity oracle path) as baseline.
     bricks = single_brick_set(vol)
@@ -107,7 +118,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "shearwarp_fwd_throughput_1chip",
+                "metric": "pallas_shearwarp_fwd_throughput_1chip",
                 "value": round(rays / dt_sw / 1e6, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(dt_exact / dt_sw, 2),

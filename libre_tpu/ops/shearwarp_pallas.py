@@ -1,0 +1,463 @@
+"""Fused Pallas shear-warp kernel — the single-chip speed-of-light path.
+
+The jnp shear-warp pipeline (ops/shearwarp.render_slope_grid) is
+HBM-bound: it materializes four (K, V, U) resampled slabs plus cumprod
+temporaries (~1.5 GB of traffic for a 512×256² frame) before the
+closed-form composite.  This kernel fuses the whole
+shear → classify-carry → composite stage into ONE Pallas program:
+
+* grid = (K,) planes, executed **sequentially** on the core — the
+  front-to-back compositing carry (two transmittance buffers + the RGB
+  accumulator) lives in VMEM scratch across grid steps and never
+  touches HBM;
+* the two volume slices that bracket virtual plane k stream HBM→VMEM
+  through the automatic Pallas pipeline, indexed by a scalar-prefetch
+  slice table (consecutive planes hitting the same slice pair are NOT
+  re-fetched — total volume traffic ≈ one pass over the classified
+  volume);
+* the per-plane 1-D interpolation matrices Mb (Nb, U) and Mcᵀ (V, Nc)
+  are rebuilt in-kernel from three scalars each (iota-compare on the
+  VPU) instead of being streamed from HBM — that alone saves
+  K·(Nb·U + V·Nc)·4 bytes (≈ 256 MB/frame at 512×256²);
+* resampling runs as dense f32 matmuls on the MXU:
+  (4·Nc, Nb) @ (Nb, U), then 4 × (V, Nc) @ (Nc, U);
+* compositing uses the exact two-carry form of
+  shearwarp._composite_planes — a raw transmittance for the early-exit
+  test and a masked one for the output — so results match the jnp path
+  to f32 accumulation order;
+* once every slope-ray has saturated, an SMEM flag skips all remaining
+  per-plane compute (the reference's early ray termination,
+  fragRaycast.glsl:115-117, at plane granularity).
+
+Semantics are identical to ops/shearwarp.render_slope_grid (same
+sample points, same opacity correction, same early-exit rule); the unit
+tests assert allclose in interpret mode on CPU and the benchmark runs
+the compiled kernel on the chip.
+
+Differentiability: the public entry point carries a ``jax.custom_vjp``
+whose backward pass recomputes through the jnp pipeline (whole-frame
+rematerialization — the Pallas forward stores no residuals, matching
+the recompute strategy of SURVEY.md §7 stage 2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from libre_tpu.ops.reference import ALPHA_CLAMP, RenderParams
+from libre_tpu.ops import shearwarp as sw
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _axis_lerp_table(z: np.ndarray, wa0: float, wa1: float, na: int):
+    """Per-plane slice indices + lerp weight for the major axis — the
+    scalar form of shearwarp._lerp_matrix (clamp-to-edge, half-voxel
+    centers)."""
+    sa = (z - wa0) / (wa1 - wa0) * na - 0.5
+    s = np.clip(sa, -0.5, na - 0.5)
+    i0 = np.floor(np.clip(s, 0.0, float(na - 1)))
+    w = np.clip(s - i0, 0.0, 1.0)
+    a0 = i0.astype(np.int32)
+    a1 = np.minimum(a0 + 1, na - 1).astype(np.int32)
+    return a0, a1, w.astype(np.float32)
+
+
+def _interp_matrix(coord_f, n_real: int, n_pad: int, axis: int, shape):
+    """In-kernel two-tap interpolation matrix: ``coord_f`` holds
+    fractional voxel coords broadcast along ``axis`` of ``shape``;
+    returns the (shape) matrix whose contraction along ``axis``
+    performs the lerp (rows ≥ n_real stay zero)."""
+    inside = coord_f["inside"]
+    s = jnp.clip(coord_f["s"], -0.5, n_real - 0.5)
+    i0 = jnp.floor(jnp.clip(s, 0.0, float(n_real - 1)))
+    w = jnp.clip(s - i0, 0.0, 1.0)
+    i1 = jnp.minimum(i0 + 1.0, float(n_real - 1))
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, axis).astype(jnp.float32)
+    m = (rows == i0) * (1.0 - w) + (rows == i1) * w
+    return m * inside
+
+
+def _make_kernel(
+    *,
+    k_planes: int,
+    na: int,
+    nb_real: int,
+    nc_real: int,
+    nb_pad: int,
+    nc_pad: int,
+    v_pad: int,
+    u_pad: int,
+    ug0: float,
+    du: float,
+    vg0: float,
+    dv: float,
+    eb: float,
+    ec: float,
+    wb0: float,
+    wb1: float,
+    wc0: float,
+    wc1: float,
+    early_exit: float,
+):
+    sb_scale = nb_real / (wb1 - wb0)
+    sc_scale = nc_real / (wc1 - wc0)
+
+    def kernel(
+        idx_ref,  # (K, 2) i32 scalar prefetch: [a0, a1] slice pair
+        pf_ref,  # (K, 2) f32 scalar prefetch: [axis lerp w, z - eye_a]
+        lo_ref,  # (1, 4*Nc_pad, Nb_pad) volume slice a0
+        hi_ref,  # (1, 4*Nc_pad, Nb_pad) volume slice a1
+        corr_ref,  # (V_pad, U_pad) per-ray opacity-correction exponent
+        out_ref,  # (4, V_pad, U_pad) accumulated rgb + alpha
+        t_raw_ref,  # (V_pad, U_pad) unmasked transmittance (exit test)
+        t_eff_ref,  # (V_pad, U_pad) masked transmittance (output)
+        done_ref,  # (1,) i32 all-rays-saturated flag
+    ):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            t_raw_ref[:] = jnp.ones_like(t_raw_ref)
+            t_eff_ref[:] = jnp.ones_like(t_eff_ref)
+            done_ref[0] = 0
+
+        @pl.when(done_ref[0] == 0)
+        def _():
+            wa = pf_ref[k, 0]
+            delta = pf_ref[k, 1]
+
+            # Virtual plane: axis lerp of the two bracketing slices.
+            vs = lo_ref[0] * (1.0 - wa) + hi_ref[0] * wa  # (4*Ncp, Nbp)
+
+            # Mb (Nbp, Up): resample voxel-b → slope-u at this plane.
+            colf = jax.lax.broadcasted_iota(jnp.int32, (1, u_pad), 1).astype(
+                jnp.float32
+            )
+            xb = eb + (ug0 + du * colf) * delta
+            mb = _interp_matrix(
+                {
+                    "s": (xb - wb0) * sb_scale - 0.5,
+                    "inside": ((xb >= wb0) & (xb < wb1)).astype(jnp.float32),
+                },
+                nb_real,
+                nb_pad,
+                0,
+                (nb_pad, u_pad),
+            )
+            s1 = jax.lax.dot_general(
+                vs,
+                mb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (4*Ncp, Up)
+
+            # Mcᵀ (Vp, Ncp): resample voxel-c → slope-v.
+            rowf = jax.lax.broadcasted_iota(jnp.int32, (v_pad, 1), 0).astype(
+                jnp.float32
+            )
+            xc = ec + (vg0 + dv * rowf) * delta
+            mct = _interp_matrix(
+                {
+                    "s": (xc - wc0) * sc_scale - 0.5,
+                    "inside": ((xc >= wc0) & (xc < wc1)).astype(jnp.float32),
+                },
+                nc_real,
+                nc_pad,
+                1,
+                (v_pad, nc_pad),
+            )
+            s1c = s1.reshape(4, nc_pad, u_pad)
+            plane = [
+                jax.lax.dot_general(
+                    mct,
+                    s1c[ch],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for ch in range(4)
+            ]  # 4 × (Vp, Up)
+
+            # Exact two-carry front-to-back composite
+            # (shearwarp._composite_planes, fragRaycast.glsl:104-111).
+            a_corr = 1.0 - jnp.power(
+                1.0 - jnp.minimum(plane[3], ALPHA_CLAMP), corr_ref[:]
+            )
+            t_raw = t_raw_ref[:]
+            m = ((1.0 - t_raw) <= early_exit).astype(jnp.float32)
+            a_eff = a_corr * m
+            t_eff = t_eff_ref[:]
+            w = a_eff * t_eff
+            out_ref[0] += w * plane[0]
+            out_ref[1] += w * plane[1]
+            out_ref[2] += w * plane[2]
+            t_eff = t_eff * (1.0 - a_eff)
+            out_ref[3] = 1.0 - t_eff
+            t_eff_ref[:] = t_eff
+            t_raw_ref[:] = t_raw * (1.0 - a_corr)
+
+            # Early ray termination at plane granularity: skip all
+            # remaining planes once every ray has saturated.
+            @pl.when(jnp.max(t_raw * (1.0 - a_corr)) < 1.0 - early_exit)
+            def _():
+                done_ref[0] = 1
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "axis", "sign", "slope_bounds", "world_min", "world_max",
+        "params", "swp", "eye", "interpret",
+    ),
+)
+def _render_slope_grid_pallas(
+    volume_zyx: jnp.ndarray,
+    tf: jnp.ndarray,
+    *,
+    eye: Tuple[float, float, float],
+    axis: int,
+    sign: float,
+    slope_bounds: Tuple[float, float, float, float],
+    world_min: Tuple[float, float, float],
+    world_max: Tuple[float, float, float],
+    params: RenderParams,
+    swp: sw.ShearWarpParams,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    k_planes = swp.n_planes
+    v_size, u_size = swp.inter_size
+    wmin = np.asarray(world_min, np.float32)
+    wmax = np.asarray(world_max, np.float32)
+    b_axis, c_axis = sw._BC_AXES[axis]
+    eye = np.asarray(eye, np.float32)
+
+    # Classified volume, permuted (A, C, B), stacked (Na, 4*Nc_pad, Nb_pad).
+    chans = sw.precompute_classified_volume(
+        volume_zyx, tf, params.data_source_range
+    )
+    perm = sw._PERM[axis]
+    chans = jnp.stack([jnp.transpose(ch, perm) for ch in chans], axis=1)
+    na, _, nc_real, nb_real = chans.shape
+    nb_pad = _round_up(nb_real, 128)
+    nc_pad = _round_up(nc_real, 128)
+    v_pad = _round_up(v_size, 8)
+    u_pad = _round_up(u_size, 128)
+    chans = jnp.pad(
+        chans, ((0, 0), (0, 0), (0, nc_pad - nc_real), (0, nb_pad - nb_real))
+    ).reshape(na, 4 * nc_pad, nb_pad)
+
+    wa0, wa1 = float(wmin[axis]), float(wmax[axis])
+    dz = (wa1 - wa0) / k_planes
+    j = np.arange(k_planes, dtype=np.float32)
+    z = np.where(sign > 0, wa0 + (j + 0.5) * dz, wa1 - (j + 0.5) * dz)
+    a0, a1, w_axis = _axis_lerp_table(z, wa0, wa1, na)
+    idx = np.stack([a0, a1], axis=1)  # (K, 2) i32
+    pf = np.stack([w_axis, (z - eye[axis]).astype(np.float32)], axis=1)
+
+    u0, u1, v0, v1 = slope_bounds
+    du = (u1 - u0) / (u_size - 1)
+    dv = (v1 - v0) / (v_size - 1)
+    ug = u0 + du * np.arange(u_pad, dtype=np.float32)
+    vg = v0 + dv * np.arange(v_pad, dtype=np.float32)
+    length = np.sqrt(1.0 + ug[None, :] ** 2 + vg[:, None] ** 2)
+    corr = (params.max_samples_per_ray * dz * length).astype(np.float32)
+
+    kernel = _make_kernel(
+        k_planes=k_planes,
+        na=na,
+        nb_real=nb_real,
+        nc_real=nc_real,
+        nb_pad=nb_pad,
+        nc_pad=nc_pad,
+        v_pad=v_pad,
+        u_pad=u_pad,
+        ug0=float(u0),
+        du=float(du),
+        vg0=float(v0),
+        dv=float(dv),
+        eb=float(eye[b_axis]),
+        ec=float(eye[c_axis]),
+        wb0=float(wmin[b_axis]),
+        wb1=float(wmax[b_axis]),
+        wc0=float(wmin[c_axis]),
+        wc1=float(wmax[c_axis]),
+        early_exit=float(params.early_exit),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k_planes,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4 * nc_pad, nb_pad),
+                lambda k, idx_ref, pf_ref: (idx_ref[k, 0], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 4 * nc_pad, nb_pad),
+                lambda k, idx_ref, pf_ref: (idx_ref[k, 1], 0, 0),
+            ),
+            pl.BlockSpec(
+                (v_pad, u_pad), lambda k, idx_ref, pf_ref: (0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, v_pad, u_pad), lambda k, idx_ref, pf_ref: (0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((v_pad, u_pad), jnp.float32),
+            pltpu.VMEM((v_pad, u_pad), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    flops_per_plane = 2 * (4 * nc_pad * nb_pad * u_pad + 4 * v_pad * nc_pad * u_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, v_pad, u_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=k_planes * flops_per_plane,
+            bytes_accessed=na * 4 * nc_pad * nb_pad * 4 + 4 * v_pad * u_pad * 4,
+            transcendentals=k_planes * v_pad * u_pad,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(idx), jnp.asarray(pf), chans, chans, jnp.asarray(corr))
+    return jnp.transpose(out, (1, 2, 0))[:v_size, :u_size]
+
+
+def _jnp_slope_grid(volume_zyx, tf, plan_args):
+    img, _, _ = sw.render_slope_grid(
+        volume_zyx,
+        tf,
+        np.asarray(plan_args["eye"], np.float32),
+        plan_args["axis"],
+        plan_args["sign"],
+        plan_args["slope_bounds"],
+        np.asarray(plan_args["world_min"], np.float32),
+        np.asarray(plan_args["world_max"], np.float32),
+        plan_args["params"],
+        plan_args["swp"],
+    )
+    return img
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def render_slope_grid_pallas(volume_zyx, tf, plan_args, interpret=False):
+    """Fused slope-space render → (V, U, 4).
+
+    ``plan_args`` is a hashable dict-like of the static view plan (see
+    :func:`slope_grid_plan_args`).  Backward recomputes through the jnp
+    pipeline (whole-frame remat).
+    """
+    return _render_slope_grid_pallas(
+        volume_zyx,
+        tf,
+        eye=plan_args["eye"],
+        axis=plan_args["axis"],
+        sign=plan_args["sign"],
+        slope_bounds=plan_args["slope_bounds"],
+        world_min=plan_args["world_min"],
+        world_max=plan_args["world_max"],
+        params=plan_args["params"],
+        swp=plan_args["swp"],
+        interpret=interpret,
+    )
+
+
+def _fwd(volume_zyx, tf, plan_args, interpret):
+    out = render_slope_grid_pallas(volume_zyx, tf, plan_args, interpret)
+    return out, (volume_zyx, tf)
+
+
+def _bwd(plan_args, interpret, res, g):
+    volume_zyx, tf = res
+    _, vjp = jax.vjp(lambda v, t: _jnp_slope_grid(v, t, plan_args), volume_zyx, tf)
+    return vjp(g)
+
+
+render_slope_grid_pallas.defvjp(_fwd, _bwd)
+
+
+class _HashablePlan(dict):
+    """Static (hashable) view-plan bundle for custom_vjp nondiff args."""
+
+    def __hash__(self):
+        return hash(
+            (
+                self["eye"],
+                self["axis"],
+                self["sign"],
+                self["slope_bounds"],
+                self["world_min"],
+                self["world_max"],
+                self["params"],
+                self["swp"],
+            )
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, dict) and dict.__eq__(self, other)
+
+
+def slope_grid_plan_args(
+    plan: sw.ShearWarpPlan,
+    world_min,
+    world_max,
+    params: RenderParams,
+    swp: sw.ShearWarpParams,
+) -> _HashablePlan:
+    return _HashablePlan(
+        eye=tuple(float(x) for x in np.asarray(plan.eye)),
+        axis=plan.axis,
+        sign=plan.sign,
+        slope_bounds=tuple(float(x) for x in plan.bounds),
+        world_min=tuple(float(x) for x in np.asarray(world_min)),
+        world_max=tuple(float(x) for x in np.asarray(world_max)),
+        params=params,
+        swp=swp,
+    )
+
+
+def render(
+    volume_zyx: jnp.ndarray,
+    tf: jnp.ndarray,
+    camera,
+    params: RenderParams,
+    world_min,
+    world_max,
+    swp: sw.ShearWarpParams = None,
+    plan: sw.ShearWarpPlan = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full shear-warp render through the fused kernel → (H, W, 4).
+
+    Drop-in for ops/shearwarp.render; the final 2-D screen warp stays in
+    jnp (4-tap gather, negligible)."""
+    if swp is None:
+        swp = sw.ShearWarpParams(n_planes=params.n_samples_per_ray)
+    if plan is None:
+        plan = sw.make_plan(camera, swp.slope_margin)
+    pa = slope_grid_plan_args(plan, world_min, world_max, params, swp)
+    inter = render_slope_grid_pallas(volume_zyx, tf, pa, interpret)
+    u0, u1, v0, v1 = plan.bounds
+    ug = jnp.linspace(u0, u1, swp.inter_size[1], dtype=jnp.float32)
+    vg = jnp.linspace(v0, v1, swp.inter_size[0], dtype=jnp.float32)
+    return sw.warp_to_screen(
+        inter,
+        ug,
+        vg,
+        jnp.asarray(plan.u),
+        jnp.asarray(plan.v),
+        jnp.asarray(plan.valid),
+    )

@@ -394,9 +394,14 @@ class RenderEngine:
         time_step: int = 0,
         n_planes: Optional[int] = None,
         params: Optional[RenderParams] = None,
+        backend: str = "auto",
     ) -> jnp.ndarray:
-        """Fast-path frame via the MXU shear-warp renderer
-        (ops/shearwarp.py) over a dense LOD level."""
+        """Fast-path frame via the MXU shear-warp renderer over a dense
+        LOD level.  ``backend``: "auto" picks the fused Pallas kernel
+        (ops/shearwarp_pallas.py) on TPU and the jnp pipeline
+        (ops/shearwarp.py) elsewhere; "pallas"/"jnp" force one."""
+        import jax
+
         from libre_tpu.ops import shearwarp
 
         info = self.info
@@ -414,7 +419,16 @@ class RenderEngine:
             n_planes=n_planes or params.n_samples_per_ray,
             inter_size=(camera.viewport[3], camera.viewport[2]),
         )
-        return shearwarp.render(
+        if backend == "auto":
+            on_tpu = jax.devices()[0].platform == "tpu"
+            backend = "pallas" if on_tpu else "jnp"
+        if backend == "pallas":
+            from libre_tpu.ops import shearwarp_pallas
+
+            render_fn = shearwarp_pallas.render
+        else:
+            render_fn = shearwarp.render
+        return render_fn(
             jnp.asarray(volume),
             self.transfer_function,
             camera,

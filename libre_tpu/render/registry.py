@@ -68,6 +68,6 @@ class ShearWarpRenderer(RendererPlugin):
     """MXU shear-warp fast path over a dense LOD level."""
 
     def render(self, engine, camera, frustum, *, params=None, **kwargs):
-        allowed = {"level", "time_step", "n_planes"}
+        allowed = {"level", "time_step", "n_planes", "backend"}
         kw = {k: v for k, v in kwargs.items() if k in allowed}
         return engine.render_shearwarp(camera, params=params, **kw)
