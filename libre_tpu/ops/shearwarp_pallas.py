@@ -38,6 +38,23 @@ Differentiability: the public entry point carries a ``jax.custom_vjp``
 whose backward pass recomputes through the jnp pipeline (whole-frame
 rematerialization — the Pallas forward stores no residuals, matching
 the recompute strategy of SURVEY.md §7 stage 2).
+
+Measured on v5e (256² × 512 planes, 64³ volume, marginal per-frame cost
+with chained frames to cancel the ~25 ms remote-dispatch overhead):
+
+* jnp slab pipeline        9.7 ms
+* fused kernel, classify
+  every frame              2.3 ms   (classify ≈ 1.2 ms of it)
+* fused kernel, classified
+  stack cached             2.1 ms full frame = 0.95 kernel
+                           + 0.6 warp gather + glue
+
+Kernel-stage ablation: mm2 (4 channel matmuls) ≈ 0.25 ms, everything
+else ≈ 0.67 ms — within ~2× of the MXU tile floor for these shapes.
+Casting matmul operands to bfloat16 measured neutral here (the compile
+env sets --xla_allow_excess_precision=true, which already demotes f32
+matmuls to one-pass bf16); ``ShearWarpParams.compute_dtype`` keeps the
+knob for deployments without that flag.
 """
 
 from __future__ import annotations
@@ -57,6 +74,61 @@ from libre_tpu.ops import shearwarp as sw
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def classify_planes(
+    volume_zyx: jnp.ndarray,
+    tf: jnp.ndarray,
+    axis: int,
+    data_source_range: Tuple[float, float],
+    chunk: int = 32768,
+) -> jnp.ndarray:
+    """Classified, permuted, padded plane stack (Na, 4·Nc_pad, Nb_pad).
+
+    The TF lookup (two-tap linear, tf_ops.lookup semantics) runs as a
+    one-hot MXU matmul in bounded chunks — ~3× faster than the XLA
+    gather on v5e and O(chunk) peak memory.  View-dependent only
+    through the axis permutation, so the engine caches the result per
+    (volume, tf, axis) and steady-state frames skip it entirely (the
+    reference re-uploads its TF texture only on change,
+    GLRaycastRenderer.cpp:175-193).
+    """
+    lo, hi = data_source_range
+    t = tf.shape[0]
+    perm = sw._PERM[axis]
+    vol = jnp.transpose(volume_zyx.astype(jnp.float32), perm)
+    na, nc, nb = vol.shape
+    nb_pad = _round_up(nb, 128)
+    nc_pad = _round_up(nc, 128)
+
+    flat = vol.reshape(-1)
+    n_vox = flat.shape[0]
+    pad_n = _round_up(n_vox, chunk)
+    flat = jnp.pad(flat, (0, pad_n - n_vox))
+    cols = jnp.arange(t, dtype=jnp.int32)
+
+    def classify_chunk(d):
+        s = jnp.clip((d - lo) / (hi - lo), 0.0, 1.0) * t - 0.5
+        s = jnp.clip(s, 0.0, float(t - 1))
+        i0 = jnp.floor(s)
+        w = s - i0
+        i0i = i0.astype(jnp.int32)
+        i1i = jnp.minimum(i0i + 1, t - 1)
+        e = (cols[None, :] == i0i[:, None]) * (1.0 - w)[:, None] + (
+            cols[None, :] == i1i[:, None]
+        ) * w[:, None]
+        return jax.lax.dot_general(
+            e, tf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    rgba = jax.lax.map(
+        classify_chunk, flat.reshape(pad_n // chunk, chunk)
+    ).reshape(pad_n, 4)[:n_vox]
+    chans = jnp.moveaxis(rgba.reshape(na, nc, nb, 4), -1, 1)  # (Na, 4, Nc, Nb)
+    chans = jnp.pad(
+        chans, ((0, 0), (0, 0), (0, nc_pad - nc), (0, nb_pad - nb))
+    )
+    return chans.reshape(na, 4 * nc_pad, nb_pad)
 
 
 def _axis_lerp_table(z: np.ndarray, wa0: float, wa1: float, na: int):
@@ -108,13 +180,15 @@ def _make_kernel(
     wc0: float,
     wc1: float,
     early_exit: float,
+    compute_dtype=jnp.float32,
 ):
     sb_scale = nb_real / (wb1 - wb0)
     sc_scale = nc_real / (wc1 - wc0)
 
     def kernel(
-        idx_ref,  # (K, 2) i32 scalar prefetch: [a0, a1] slice pair
-        pf_ref,  # (K, 2) f32 scalar prefetch: [axis lerp w, z - eye_a]
+        idx_ref,  # (K,) i32 scalar prefetch: slice index a0 (a1 = a0+1)
+        wa_ref,  # (K,) f32 scalar prefetch: axis lerp weight
+        dl_ref,  # (K,) f32 scalar prefetch: z - eye_a
         lo_ref,  # (1, 4*Nc_pad, Nb_pad) volume slice a0
         hi_ref,  # (1, 4*Nc_pad, Nb_pad) volume slice a1
         corr_ref,  # (V_pad, U_pad) per-ray opacity-correction exponent
@@ -134,8 +208,8 @@ def _make_kernel(
 
         @pl.when(done_ref[0] == 0)
         def _():
-            wa = pf_ref[k, 0]
-            delta = pf_ref[k, 1]
+            wa = wa_ref[k]
+            delta = dl_ref[k]
 
             # Virtual plane: axis lerp of the two bracketing slices.
             vs = lo_ref[0] * (1.0 - wa) + hi_ref[0] * wa  # (4*Ncp, Nbp)
@@ -156,8 +230,8 @@ def _make_kernel(
                 (nb_pad, u_pad),
             )
             s1 = jax.lax.dot_general(
-                vs,
-                mb,
+                vs.astype(compute_dtype),
+                mb.astype(compute_dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (4*Ncp, Up)
@@ -177,7 +251,8 @@ def _make_kernel(
                 1,
                 (v_pad, nc_pad),
             )
-            s1c = s1.reshape(4, nc_pad, u_pad)
+            s1c = s1.astype(compute_dtype).reshape(4, nc_pad, u_pad)
+            mct = mct.astype(compute_dtype)
             plane = [
                 jax.lax.dot_general(
                     mct,
@@ -218,14 +293,15 @@ def _make_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "axis", "sign", "slope_bounds", "world_min", "world_max",
-        "params", "swp", "eye", "interpret",
+        "nc_real", "nb_real", "axis", "sign", "slope_bounds",
+        "world_min", "world_max", "params", "swp", "eye", "interpret",
     ),
 )
-def _render_slope_grid_pallas(
-    volume_zyx: jnp.ndarray,
-    tf: jnp.ndarray,
+def render_from_classified(
+    chans: jnp.ndarray,  # (Na, 4*Nc_pad, Nb_pad) from classify_planes
     *,
+    nc_real: int,
+    nb_real: int,
     eye: Tuple[float, float, float],
     axis: int,
     sign: float,
@@ -236,6 +312,9 @@ def _render_slope_grid_pallas(
     swp: sw.ShearWarpParams,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Fused slope-space render from a prebuilt classified plane stack
+    → (V, U, 4).  The engine caches ``chans`` across frames so the
+    steady-state cost is the kernel alone."""
     k_planes = swp.n_planes
     v_size, u_size = swp.inter_size
     wmin = np.asarray(world_min, np.float32)
@@ -243,27 +322,18 @@ def _render_slope_grid_pallas(
     b_axis, c_axis = sw._BC_AXES[axis]
     eye = np.asarray(eye, np.float32)
 
-    # Classified volume, permuted (A, C, B), stacked (Na, 4*Nc_pad, Nb_pad).
-    chans = sw.precompute_classified_volume(
-        volume_zyx, tf, params.data_source_range
-    )
-    perm = sw._PERM[axis]
-    chans = jnp.stack([jnp.transpose(ch, perm) for ch in chans], axis=1)
-    na, _, nc_real, nb_real = chans.shape
+    na = chans.shape[0]
     nb_pad = _round_up(nb_real, 128)
     nc_pad = _round_up(nc_real, 128)
     v_pad = _round_up(v_size, 8)
     u_pad = _round_up(u_size, 128)
-    chans = jnp.pad(
-        chans, ((0, 0), (0, 0), (0, nc_pad - nc_real), (0, nb_pad - nb_real))
-    ).reshape(na, 4 * nc_pad, nb_pad)
+    assert chans.shape == (na, 4 * nc_pad, nb_pad), chans.shape
 
     wa0, wa1 = float(wmin[axis]), float(wmax[axis])
     dz = (wa1 - wa0) / k_planes
     j = np.arange(k_planes, dtype=np.float32)
     z = np.where(sign > 0, wa0 + (j + 0.5) * dz, wa1 - (j + 0.5) * dz)
     a0, a1, w_axis = _axis_lerp_table(z, wa0, wa1, na)
-    idx = np.stack([a0, a1], axis=1)  # (K, 2) i32
     pf = np.stack([w_axis, (z - eye[axis]).astype(np.float32)], axis=1)
 
     u0, u1, v0, v1 = slope_bounds
@@ -294,26 +364,29 @@ def _render_slope_grid_pallas(
         wc0=float(wmin[c_axis]),
         wc1=float(wmax[c_axis]),
         early_exit=float(params.early_exit),
+        compute_dtype=jnp.dtype(swp.compute_dtype).type,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(k_planes,),
         in_specs=[
             pl.BlockSpec(
                 (1, 4 * nc_pad, nb_pad),
-                lambda k, idx_ref, pf_ref: (idx_ref[k, 0], 0, 0),
+                lambda k, idx_ref, wa_ref, dl_ref: (idx_ref[k], 0, 0),
             ),
             pl.BlockSpec(
                 (1, 4 * nc_pad, nb_pad),
-                lambda k, idx_ref, pf_ref: (idx_ref[k, 1], 0, 0),
+                lambda k, idx_ref, wa_ref, dl_ref: (
+                    jnp.minimum(idx_ref[k] + 1, na - 1), 0, 0
+                ),
             ),
             pl.BlockSpec(
-                (v_pad, u_pad), lambda k, idx_ref, pf_ref: (0, 0)
+                (v_pad, u_pad), lambda k, idx_ref, wa_ref, dl_ref: (0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (4, v_pad, u_pad), lambda k, idx_ref, pf_ref: (0, 0, 0)
+            (4, v_pad, u_pad), lambda k, idx_ref, wa_ref, dl_ref: (0, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((v_pad, u_pad), jnp.float32),
@@ -332,7 +405,14 @@ def _render_slope_grid_pallas(
             transcendentals=k_planes * v_pad * u_pad,
         ),
         interpret=interpret,
-    )(jnp.asarray(idx), jnp.asarray(pf), chans, chans, jnp.asarray(corr))
+    )(
+        jnp.asarray(a0),
+        jnp.asarray(pf[:, 0]),
+        jnp.asarray(pf[:, 1]),
+        chans,
+        chans,
+        jnp.asarray(corr),
+    )
     return jnp.transpose(out, (1, 2, 0))[:v_size, :u_size]
 
 
@@ -352,17 +432,22 @@ def _jnp_slope_grid(volume_zyx, tf, plan_args):
     return img
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def render_slope_grid_pallas(volume_zyx, tf, plan_args, interpret=False):
-    """Fused slope-space render → (V, U, 4).
-
-    ``plan_args`` is a hashable dict-like of the static view plan (see
-    :func:`slope_grid_plan_args`).  Backward recomputes through the jnp
-    pipeline (whole-frame remat).
-    """
-    return _render_slope_grid_pallas(
+def _classified_for(volume_zyx, tf, plan_args):
+    return classify_planes(
         volume_zyx,
         tf,
+        plan_args["axis"],
+        plan_args["params"].data_source_range,
+    )
+
+
+def render_classified_slope_grid(chans, nc_real, nb_real, plan_args,
+                                 interpret=False):
+    """Kernel-only path from a cached classified stack (inference)."""
+    return render_from_classified(
+        chans,
+        nc_real=nc_real,
+        nb_real=nb_real,
         eye=plan_args["eye"],
         axis=plan_args["axis"],
         sign=plan_args["sign"],
@@ -372,6 +457,23 @@ def render_slope_grid_pallas(volume_zyx, tf, plan_args, interpret=False):
         params=plan_args["params"],
         swp=plan_args["swp"],
         interpret=interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def render_slope_grid_pallas(volume_zyx, tf, plan_args, interpret=False):
+    """Fused slope-space render → (V, U, 4).
+
+    ``plan_args`` is a hashable dict-like of the static view plan (see
+    :func:`slope_grid_plan_args`).  Backward recomputes through the jnp
+    pipeline (whole-frame remat).
+    """
+    perm = sw._PERM[plan_args["axis"]]
+    shape = volume_zyx.shape
+    nc_real, nb_real = shape[perm[1]], shape[perm[2]]
+    chans = _classified_for(volume_zyx, tf, plan_args)
+    return render_classified_slope_grid(
+        chans, nc_real, nb_real, plan_args, interpret
     )
 
 

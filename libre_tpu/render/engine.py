@@ -137,6 +137,7 @@ class RenderEngine:
         self.data_source_range = info.data_type.default_range
 
         self._compiled: Dict[tuple, callable] = {}
+        self._classified_cache: Dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------ IO
     def _load_brick(self, cache_id: int) -> Tuple[np.ndarray, int]:
@@ -422,20 +423,51 @@ class RenderEngine:
         if backend == "auto":
             on_tpu = jax.devices()[0].platform == "tpu"
             backend = "pallas" if on_tpu else "jnp"
-        if backend == "pallas":
-            from libre_tpu.ops import shearwarp_pallas
+        if backend != "pallas":
+            return shearwarp.render(
+                jnp.asarray(volume),
+                self.transfer_function,
+                camera,
+                params,
+                -half,
+                half,
+                swp,
+            )
 
-            render_fn = shearwarp_pallas.render
-        else:
-            render_fn = shearwarp.render
-        return render_fn(
-            jnp.asarray(volume),
-            self.transfer_function,
-            camera,
-            params,
-            -half,
-            half,
-            swp,
+        # Fused Pallas kernel with the classified plane stack cached per
+        # (level, time_step, axis, tf) — steady-state frames run the
+        # kernel alone, mirroring the reference's upload-TF-once flow.
+        from libre_tpu.ops import shearwarp_pallas
+
+        plan = shearwarp.make_plan(camera, swp.slope_margin)
+        key = (level, time_step, plan.axis, id(self.transfer_function),
+               params.data_source_range)
+        cached = self._classified_cache.get(key)
+        if cached is None:
+            chans = shearwarp_pallas.classify_planes(
+                jnp.asarray(volume),
+                self.transfer_function,
+                plan.axis,
+                params.data_source_range,
+            )
+            perm = shearwarp._PERM[plan.axis]
+            nc_real, nb_real = volume.shape[perm[1]], volume.shape[perm[2]]
+            cached = (chans, nc_real, nb_real)
+            self._classified_cache.clear()  # one level/TF pairing at a time
+            self._classified_cache[key] = cached
+        chans, nc_real, nb_real = cached
+        pa = shearwarp_pallas.slope_grid_plan_args(
+            plan, -half, half, params, swp
+        )
+        inter = shearwarp_pallas.render_classified_slope_grid(
+            chans, nc_real, nb_real, pa
+        )
+        u0, u1, v0, v1 = plan.bounds
+        ug = jnp.linspace(u0, u1, swp.inter_size[1], dtype=jnp.float32)
+        vg = jnp.linspace(v0, v1, swp.inter_size[0], dtype=jnp.float32)
+        return shearwarp.warp_to_screen(
+            inter, ug, vg, jnp.asarray(plan.u), jnp.asarray(plan.v),
+            jnp.asarray(plan.valid),
         )
 
     def accumulate_histogram(self, nodes: Sequence[NodeId]) -> Optional[Histogram]:
