@@ -47,8 +47,19 @@ def main(argv: Optional[list] = None) -> int:
     cam.add_argument("--lookat", nargs=3, type=float)
 
     cm = sub.add_parser("colormap", help="push a transfer function")
-    cm.add_argument("--file", help=".1dt transfer function file")
+    cm.add_argument("--file", help=".1dt / .lba / .lbb transfer function file")
     cm.add_argument("--preset", choices=["default", "grayscale"])
+    cm.add_argument(
+        "--point",
+        nargs=3,
+        action="append",
+        default=[],
+        metavar=("CHANNEL", "X", "Y"),
+        help="control point edit, e.g. --point alpha 0.5 0.9 "
+        "(TransferFunctionEditor HoverPoints equivalent); starts from "
+        "--file/--preset and may repeat",
+    )
+    cm.add_argument("--save", help="also save the result (.lba/.lbb/.1dt)")
 
     clip = sub.add_parser("clip", help="set clip planes")
     clip.add_argument(
@@ -84,18 +95,30 @@ def main(argv: Optional[list] = None) -> int:
             _call(f"{base}/camera", "PUT", body)
         print(json.dumps(_call(f"{base}/camera"), indent=2))
     elif args.cmd == "colormap":
+        from libre_tpu.ops import colormap as cm_ops
+        from libre_tpu.ops.transfer_function import (
+            grayscale_ramp, save_1dt,
+        )
+
         if args.file:
-            from libre_tpu.ops.transfer_function import load_1dt
-
-            rgba = load_1dt(args.file).tolist()
+            table = cm_ops.load(args.file)
         elif args.preset == "grayscale":
-            from libre_tpu.ops.transfer_function import grayscale_ramp
-
-            rgba = grayscale_ramp().tolist()
+            table = grayscale_ramp()
         else:
-            from libre_tpu.ops.transfer_function import default_color_map
-
-            rgba = default_color_map().tolist()
+            table = cm_ops.ColorMap.default().sample()
+        if args.point:
+            cmap = cm_ops.ColorMap.from_table(table)
+            for ch, x, y in args.point:
+                cmap.add_point(ch, float(x), float(y))
+            table = cmap.sample()
+        if args.save:
+            if args.save.endswith(".lba"):
+                cm_ops.ColorMap.from_table(table).save_lba(args.save)
+            elif args.save.endswith(".lbb"):
+                cm_ops.ColorMap.from_table(table).save_lbb(args.save)
+            else:
+                save_1dt(args.save, table)
+        rgba = table.tolist()
         print(_call(f"{base}/colormap", "PUT", {"rgba": rgba}))
     elif args.cmd == "clip":
         planes = [] if args.clear else args.plane
