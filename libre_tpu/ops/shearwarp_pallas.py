@@ -171,7 +171,6 @@ def _make_kernel(
     u_pad: int,
     ug0: float,
     du: float,
-    vg0: float,
     dv: float,
     eb: float,
     ec: float,
@@ -189,6 +188,8 @@ def _make_kernel(
         idx_ref,  # (K,) i32 scalar prefetch: slice index a0 (a1 = a0+1)
         wa_ref,  # (K,) f32 scalar prefetch: axis lerp weight
         dl_ref,  # (K,) f32 scalar prefetch: z - eye_a
+        vg0_ref,  # (1,) f32 scalar prefetch: first slope-row coordinate
+        #           (per-device under sort-first row sharding)
         lo_ref,  # (1, 4*Nc_pad, Nb_pad) volume slice a0
         hi_ref,  # (1, 4*Nc_pad, Nb_pad) volume slice a1
         corr_ref,  # (V_pad, U_pad) per-ray opacity-correction exponent
@@ -240,7 +241,7 @@ def _make_kernel(
             rowf = jax.lax.broadcasted_iota(jnp.int32, (v_pad, 1), 0).astype(
                 jnp.float32
             )
-            xc = ec + (vg0 + dv * rowf) * delta
+            xc = ec + (vg0_ref[0] + dv * rowf) * delta
             mct = _interp_matrix(
                 {
                     "s": (xc - wc0) * sc_scale - 0.5,
@@ -355,7 +356,6 @@ def render_from_classified(
         u_pad=u_pad,
         ug0=float(u0),
         du=float(du),
-        vg0=float(v0),
         dv=float(dv),
         eb=float(eye[b_axis]),
         ec=float(eye[c_axis]),
@@ -367,26 +367,51 @@ def render_from_classified(
         compute_dtype=jnp.dtype(swp.compute_dtype).type,
     )
 
+    out = _fused_call(
+        kernel,
+        chans,
+        jnp.asarray(a0),
+        jnp.asarray(pf[:, 0]),
+        jnp.asarray(pf[:, 1]),
+        jnp.asarray(np.float32([v0])),
+        jnp.asarray(corr),
+        k_planes=k_planes,
+        na=na,
+        nc_pad=nc_pad,
+        nb_pad=nb_pad,
+        v_pad=v_pad,
+        u_pad=u_pad,
+        interpret=interpret,
+    )
+    return jnp.transpose(out, (1, 2, 0))[:v_size, :u_size]
+
+
+def _fused_call(
+    kernel, chans, a0, wa, dl, vg0, corr, *,
+    k_planes, na, nc_pad, nb_pad, v_pad, u_pad, interpret,
+):
+    """Invoke the fused kernel (shared by the single-device path and the
+    per-device body of the sharded path)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(k_planes,),
         in_specs=[
             pl.BlockSpec(
                 (1, 4 * nc_pad, nb_pad),
-                lambda k, idx_ref, wa_ref, dl_ref: (idx_ref[k], 0, 0),
+                lambda k, idx, _w, _d, _v: (idx[k], 0, 0),
             ),
             pl.BlockSpec(
                 (1, 4 * nc_pad, nb_pad),
-                lambda k, idx_ref, wa_ref, dl_ref: (
-                    jnp.minimum(idx_ref[k] + 1, na - 1), 0, 0
+                lambda k, idx, _w, _d, _v: (
+                    jnp.minimum(idx[k] + 1, na - 1), 0, 0
                 ),
             ),
             pl.BlockSpec(
-                (v_pad, u_pad), lambda k, idx_ref, wa_ref, dl_ref: (0, 0)
+                (v_pad, u_pad), lambda k, idx, _w, _d, _v: (0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (4, v_pad, u_pad), lambda k, idx_ref, wa_ref, dl_ref: (0, 0, 0)
+            (4, v_pad, u_pad), lambda k, idx, _w, _d, _v: (0, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((v_pad, u_pad), jnp.float32),
@@ -395,7 +420,7 @@ def render_from_classified(
         ],
     )
     flops_per_plane = 2 * (4 * nc_pad * nb_pad * u_pad + 4 * v_pad * nc_pad * u_pad)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, v_pad, u_pad), jnp.float32),
@@ -405,15 +430,7 @@ def render_from_classified(
             transcendentals=k_planes * v_pad * u_pad,
         ),
         interpret=interpret,
-    )(
-        jnp.asarray(a0),
-        jnp.asarray(pf[:, 0]),
-        jnp.asarray(pf[:, 1]),
-        chans,
-        chans,
-        jnp.asarray(corr),
-    )
-    return jnp.transpose(out, (1, 2, 0))[:v_size, :u_size]
+    )(a0, wa, dl, vg0, chans, chans, corr)
 
 
 def _jnp_slope_grid(volume_zyx, tf, plan_args):
@@ -563,3 +580,132 @@ def render(
         jnp.asarray(plan.v),
         jnp.asarray(plan.valid),
     )
+
+
+# ---------------------------------------------------------------- sharded
+def render_slope_grid_sharded(
+    mesh,
+    chans: jnp.ndarray,
+    nc_real: int,
+    nb_real: int,
+    plan_args,
+    ray_axis: str = None,
+    brick_axis: str = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-device fused render: slope rows × plane ranges over the mesh
+    → (V, U, 4).
+
+    Same decomposition as parallel/shearwarp_sharded.py (ray axis shards
+    slope rows = sort-first; brick axis shards contiguous front-to-back
+    plane ranges = sort-last/DB), but the per-device body is the fused
+    Pallas kernel instead of the jnp slab pipeline.  The per-plane
+    scalar tables are computed once for the full grid and sharded along
+    the brick axis; the device's first-slope-row coordinate enters the
+    kernel as a scalar-prefetch operand.  Partial (rgb, a) segments fold
+    with the over operator in rank order (the blendFrames equivalent,
+    livre/eq/Channel.cpp:444-533).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from libre_tpu.parallel.compositing import fold_over
+    from libre_tpu.parallel.mesh import BRICK_AXIS, RAY_AXIS
+
+    ray_axis = ray_axis or RAY_AXIS
+    brick_axis = brick_axis or BRICK_AXIS
+    pa = plan_args
+    k_planes = pa["swp"].n_planes
+    v_size, u_size = pa["swp"].inter_size
+    d_k = mesh.shape[brick_axis]
+    d_v = mesh.shape[ray_axis]
+    if v_size % (8 * d_v) or k_planes % d_k:
+        raise ValueError(
+            f"V={v_size} must divide {d_v} devices x 8 sublanes and "
+            f"K={k_planes} must divide {d_k}"
+        )
+    k_l, v_l = k_planes // d_k, v_size // d_v
+
+    axis = pa["axis"]
+    wmin = np.asarray(pa["world_min"], np.float32)
+    wmax = np.asarray(pa["world_max"], np.float32)
+    b_axis, c_axis = sw._BC_AXES[axis]
+    eye = np.asarray(pa["eye"], np.float32)
+    na = chans.shape[0]
+    nb_pad = _round_up(nb_real, 128)
+    nc_pad = _round_up(nc_real, 128)
+    u_pad = _round_up(u_size, 128)
+
+    wa0, wa1 = float(wmin[axis]), float(wmax[axis])
+    dz = (wa1 - wa0) / k_planes
+    j = np.arange(k_planes, dtype=np.float32)
+    sign = pa["sign"]
+    z = np.where(sign > 0, wa0 + (j + 0.5) * dz, wa1 - (j + 0.5) * dz)
+    a0, _, w_axis = _axis_lerp_table(z, wa0, wa1, na)
+    delta = (z - eye[axis]).astype(np.float32)
+
+    u0, u1, v0, v1 = pa["slope_bounds"]
+    du = (u1 - u0) / (u_size - 1)
+    dv = (v1 - v0) / (v_size - 1)
+    ug = u0 + du * np.arange(u_pad, dtype=np.float32)
+
+    kernel = _make_kernel(
+        k_planes=k_l,
+        na=na,
+        nb_real=nb_real,
+        nc_real=nc_real,
+        nb_pad=nb_pad,
+        nc_pad=nc_pad,
+        v_pad=v_l,
+        u_pad=u_pad,
+        ug0=float(u0),
+        du=float(du),
+        dv=float(dv),
+        eb=float(eye[b_axis]),
+        ec=float(eye[c_axis]),
+        wb0=float(wmin[b_axis]),
+        wb1=float(wmax[b_axis]),
+        wc0=float(wmin[c_axis]),
+        wc1=float(wmax[c_axis]),
+        early_exit=float(pa["params"].early_exit),
+        compute_dtype=jnp.dtype(pa["swp"].compute_dtype).type,
+    )
+    msr = pa["params"].max_samples_per_ray
+
+    def body(chans_l, a0_l, wa_l, dl_l):
+        vd = jax.lax.axis_index(ray_axis)
+        vg0 = v0 + dv * (vd * v_l).astype(jnp.float32)
+        vg = vg0 + dv * jnp.arange(v_l, dtype=jnp.float32)
+        length = jnp.sqrt(1.0 + ug[None, :] ** 2 + vg[:, None] ** 2)
+        corr = (msr * dz * length).astype(jnp.float32)
+        out = _fused_call(
+            kernel,
+            chans_l,
+            a0_l,
+            wa_l,
+            dl_l,
+            vg0[None],
+            corr,
+            k_planes=k_l,
+            na=na,
+            nc_pad=nc_pad,
+            nb_pad=nb_pad,
+            v_pad=v_l,
+            u_pad=u_pad,
+            interpret=interpret,
+        )
+        return jnp.transpose(out, (1, 2, 0))[None]  # (1, V_l, U_pad, 4)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(brick_axis), P(brick_axis), P(brick_axis)),
+        out_specs=P(brick_axis, ray_axis),
+        # pallas_call outputs carry no varying-mesh-axes annotation yet
+        check_vma=False,
+    )
+    parts = fn(
+        chans, jnp.asarray(a0), jnp.asarray(w_axis), jnp.asarray(delta)
+    )  # (d_k, V, U_pad, 4) in front-to-back rank order
+    rgb, a = fold_over(parts[..., :3], parts[..., 3])
+    return jnp.concatenate([rgb, a[..., None]], axis=-1)[:, :u_size]

@@ -16,6 +16,11 @@ ops/shearwarp.render_slope_grid with the plane/row subranges selected by
 the device's mesh coordinates; the fold happens outside shard_map so
 GSPMD inserts the collectives and standard AD applies (gradients of the
 replicated volume/TF psum across the mesh).
+
+For production TPU rendering use
+ops/shearwarp_pallas.render_slope_grid_sharded — the same decomposition
+with the fused Pallas kernel as the per-device body (this module stays
+the differentiable jnp reference of that path).
 """
 
 from __future__ import annotations

@@ -115,3 +115,37 @@ def test_gradients_match_jnp(scene):
     gv2, gt2 = jax.grad(loss_jnp, argnums=(0, 1))(vol, tf)
     np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2), atol=1e-6)
+
+
+def test_sharded_matches_single_device(scene):
+    """ray × brick sharded fused kernel == single-device kernel
+    (sort-first rows have no communication; sort-last plane ranges fold
+    with the over operator)."""
+    import jax
+    from libre_tpu.parallel import make_mesh
+
+    import dataclasses
+
+    vol, tf = scene
+    mesh = make_mesh(n_brick=2, n_ray=4)
+    plan = sw.make_plan(_camera([0.3, 0.5, 1.2]))
+    swp_cfg = sw.ShearWarpParams(n_planes=24, inter_size=(32, 40))
+    chans = swp.classify_planes(vol, tf, plan.axis, PARAMS.data_source_range)
+    perm = sw._PERM[plan.axis]
+    nc_real, nb_real = vol.shape[perm[1]], vol.shape[perm[2]]
+
+    # Exact parity with early exit disabled (as in test_parallel.py:107);
+    # with it enabled the drift is device-local and bounded by
+    # 1 - threshold (doc/technical-overview.md).
+    for params, atol in (
+        (dataclasses.replace(PARAMS, early_exit=1.1), 2e-5),
+        (PARAMS, 2e-3),
+    ):
+        pa = swp.slope_grid_plan_args(plan, GMIN, GMAX, params, swp_cfg)
+        single = swp.render_slope_grid_pallas(vol, tf, pa, True)
+        sharded = swp.render_slope_grid_sharded(
+            mesh, chans, nc_real, nb_real, pa, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), atol=atol
+        )
