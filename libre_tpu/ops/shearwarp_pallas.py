@@ -49,6 +49,10 @@ with chained frames to cancel the ~25 ms remote-dispatch overhead):
   stack cached             2.1 ms full frame = 0.95 kernel
                            + 0.6 warp gather + glue
 
+Volume/plane scaling (kernel only, classified stack cached, 256² grid):
+64³ K=512 → 1.1 ms; 128³ K=512 → 1.3 ms; 256³ K=512 → 2.4 ms;
+256³ K=1024 → 4.1 ms.
+
 Kernel-stage ablation: mm2 (4 channel matmuls) ≈ 0.25 ms, everything
 else ≈ 0.67 ms — within ~2× of the MXU tile floor for these shapes.
 Casting matmul operands to bfloat16 measured neutral here (the compile
