@@ -157,6 +157,24 @@ def precompute_classified_volume(volume_zyx, tf, data_source_range):
     return tuple(rgba[..., i] for i in range(4))
 
 
+def _exclusive_cumprod(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Exclusive cumulative product along ``axis`` via lax.scan.
+
+    Functionally ``concat([1, cumprod(x)[:-1]])``, but jnp.cumprod's
+    transpose breaks under shard_map ("Unexpected XLA sharding
+    override" as of jax 0.9) — the scan form differentiates cleanly and
+    multiplies in the same sequential order as the Pallas kernel's
+    carried transmittance.
+    """
+    x = jnp.moveaxis(x, axis, 0)
+
+    def step(carry, row):
+        return carry * row, carry
+
+    _, out = jax.lax.scan(step, jnp.ones_like(x[0]), x)
+    return jnp.moveaxis(out, 0, axis)
+
+
 def _composite_planes(
     slab_r, slab_g, slab_b, alpha, corr, early_exit
 ):
@@ -166,23 +184,11 @@ def _composite_planes(
     a_corr = 1.0 - jnp.power(
         1.0 - jnp.minimum(alpha, ALPHA_CLAMP), corr[None]
     )
-    t_excl_u = jnp.concatenate(
-        [
-            jnp.ones_like(a_corr[:1]),
-            jnp.cumprod(1.0 - a_corr, axis=0)[:-1],
-        ],
-        axis=0,
-    )
+    t_excl_u = _exclusive_cumprod(1.0 - a_corr, axis=0)
     global_before = 1.0 - t_excl_u
     m = (global_before <= early_exit).astype(a_corr.dtype)
     a_eff = a_corr * m
-    t_excl = jnp.concatenate(
-        [
-            jnp.ones_like(a_eff[:1]),
-            jnp.cumprod(1.0 - a_eff, axis=0)[:-1],
-        ],
-        axis=0,
-    )
+    t_excl = _exclusive_cumprod(1.0 - a_eff, axis=0)
     w = a_eff * t_excl
     out_r = jnp.sum(w * slab_r, axis=0)
     out_g = jnp.sum(w * slab_g, axis=0)
@@ -215,11 +221,19 @@ def render_slope_grid(
     b_axis, c_axis = _BC_AXES[axis]
 
     vol_perm = lambda ch: jnp.transpose(ch, perm)
-    if swp.classification != "pre":
-        raise NotImplementedError("post-classification lands with the LOD path")
-    chans = precompute_classified_volume(
-        volume_zyx, tf, params.data_source_range
-    )
+    if swp.classification == "pre":
+        # Classic shear-warp: TF applied per voxel, RGBA interpolated.
+        chans = precompute_classified_volume(
+            volume_zyx, tf, params.data_source_range
+        )
+    else:
+        # Post-classification (reference semantics,
+        # fragRaycast.glsl:188-205): interpolate DENSITY, classify per
+        # sample.  One resample channel, then a per-sample TF lookup —
+        # a (K, V, U) gather, so slower than "pre" on TPU; the exact
+        # marcher (ops/raycast.py) is the production post path.
+        lo, hi = params.data_source_range
+        chans = [(volume_zyx.astype(jnp.float32) - lo) / (hi - lo)]
     chans = [vol_perm(ch) for ch in chans]  # each (A, C, B)
     Na, Nc, Nb = chans[0].shape
 
@@ -273,6 +287,17 @@ def render_slope_grid(
             "kcu,kcv->kvu", s1, Mc, preferred_element_type=jnp.float32
         )
         slabs.append(s2)  # (K, V, U)
+
+    if swp.classification != "pre":
+        # Interpolation matrices zero OUTSIDE-box samples; for "pre"
+        # that zeroes the alpha directly, for "post" tf(0) may be
+        # opaque, so mask alpha with the inside indicator explicitly.
+        rgba = tf_ops.lookup(tf, slabs[0])  # (K, V, U, 4)
+        inside = inside_c[:, :, None] * inside_b[:, None, :]  # (K, V, U)
+        slabs = [
+            rgba[..., 0], rgba[..., 1], rgba[..., 2],
+            rgba[..., 3] * inside,
+        ]
 
     out_r, out_g, out_b, out_a = _composite_planes(
         slabs[0], slabs[1], slabs[2], slabs[3], corr, params.early_exit
@@ -387,6 +412,7 @@ def plane_oracle(
     world_max,
     params: RenderParams,
     n_planes: int,
+    classification: str = "pre",
 ) -> jnp.ndarray:
     """Gather-based marcher over the IDENTICAL sample set (ray∩plane
     points, trilinear, same opacity correction, same early exit) →
@@ -403,8 +429,14 @@ def plane_oracle(
     j = jnp.arange(K, dtype=jnp.float32)
     z = jnp.where(sign > 0, wa0 + (j + 0.5) * dz, wa1 - (j + 0.5) * dz)
 
-    chans = precompute_classified_volume(volume_zyx, tf, params.data_source_range)
-    rgba_vol = jnp.stack(chans, axis=-1)  # (Z, Y, X, 4)
+    if classification == "pre":
+        chans = precompute_classified_volume(
+            volume_zyx, tf, params.data_source_range
+        )
+        rgba_vol = jnp.stack(chans, axis=-1)  # (Z, Y, X, 4)
+    else:
+        lo, hi = params.data_source_range
+        dens_vol = (volume_zyx.astype(jnp.float32) - lo) / (hi - lo)
 
     length = jnp.sqrt(1.0 + u ** 2 + v ** 2)  # (R,)
     corr = params.max_samples_per_ray * dz * length
@@ -430,28 +462,26 @@ def plane_oracle(
     coords[c_axis] = tex(pc, wmin[c_axis], wmax[c_axis])
     tex_pos = jnp.stack([coords[0], coords[1], coords[2]], axis=-1)
 
-    rgba = jnp.stack(
-        [
-            sample_density(rgba_vol[..., ch], tex_pos, "trilinear")
-            for ch in range(4)
-        ],
-        axis=-1,
-    )  # (R, K, 4)
+    if classification == "pre":
+        rgba = jnp.stack(
+            [
+                sample_density(rgba_vol[..., ch], tex_pos, "trilinear")
+                for ch in range(4)
+            ],
+            axis=-1,
+        )  # (R, K, 4)
+    else:
+        dens = sample_density(dens_vol, tex_pos, "trilinear")  # (R, K)
+        rgba = tf_ops.lookup(tf, dens)  # outside masked via a_v below
 
     a_corr = 1.0 - jnp.power(
         1.0 - jnp.minimum(rgba[..., 3], ALPHA_CLAMP), corr[:, None]
     )
     a_v = a_corr * inside.astype(jnp.float32)
-    t_excl_u = jnp.concatenate(
-        [jnp.ones_like(a_v[:, :1]), jnp.cumprod(1 - a_v, axis=1)[:, :-1]],
-        axis=1,
-    )
+    t_excl_u = _exclusive_cumprod(1.0 - a_v, axis=1)
     m = ((1.0 - t_excl_u) <= params.early_exit).astype(jnp.float32)
     a_eff = a_v * m
-    t_excl = jnp.concatenate(
-        [jnp.ones_like(a_eff[:, :1]), jnp.cumprod(1 - a_eff, axis=1)[:, :-1]],
-        axis=1,
-    )
+    t_excl = _exclusive_cumprod(1.0 - a_eff, axis=1)
     w = a_eff * t_excl
     out_rgb = jnp.einsum("rk,rkc->rc", w, rgba[..., :3])
     out_a = 1.0 - jnp.prod(1.0 - a_eff, axis=1)

@@ -194,3 +194,58 @@ def test_shearwarp_gradients_match_oracle(scene):
     )
     assert float(jnp.abs(g_sw[0]).sum()) > 0
     assert float(jnp.abs(g_sw[1]).sum()) > 0
+
+
+def test_post_classification_matches_oracle(scene):
+    """Post-classification pipeline (interpolate density, classify per
+    sample — fragRaycast.glsl:188-205 semantics) == gather oracle."""
+    volume, tf = scene
+    cam = make_camera([0.2, 0.1, 1.4])
+    axis, sign = shearwarp.choose_major_axis(cam)
+    u, v, d_a = shearwarp.pixel_slopes(cam, axis)
+    bounds = shearwarp._slope_bounds(u, v, d_a, sign, 0.02)
+    eye = np.asarray(cam.inv_mv)[:3, 3]
+
+    swp = shearwarp.ShearWarpParams(
+        n_planes=48, inter_size=(24, 20), classification="post"
+    )
+    inter, ug, vg = shearwarp.render_slope_grid(
+        volume, tf, eye, axis, sign, bounds, GMIN, GMAX, PARAMS, swp
+    )
+    uu, vv = jnp.meshgrid(ug, vg, indexing="xy")
+    oracle = shearwarp.plane_oracle(
+        volume, tf, eye, axis, sign,
+        (uu.reshape(-1), vv.reshape(-1)),
+        GMIN, GMAX, PARAMS, 48, classification="post",
+    ).reshape(*inter.shape)
+    np.testing.assert_allclose(
+        np.asarray(inter), np.asarray(oracle), atol=2e-5
+    )
+
+
+def test_post_equals_pre_for_affine_tf(scene):
+    """With a TF affine in density, interpolate-then-classify equals
+    classify-then-interpolate (the classic shear-warp equivalence)."""
+    from libre_tpu.ops.transfer_function import grayscale_ramp
+
+    volume, _ = scene
+    # keep densities inside the clamp-free TF interior
+    volume = 0.2 + 0.6 * volume
+    tf = jnp.asarray(grayscale_ramp(256) * 0.5)
+    cam = make_camera([0.2, 0.1, 1.4])
+    axis, sign = shearwarp.choose_major_axis(cam)
+    u, v, d_a = shearwarp.pixel_slopes(cam, axis)
+    bounds = shearwarp._slope_bounds(u, v, d_a, sign, 0.02)
+    eye = np.asarray(cam.inv_mv)[:3, 3]
+
+    imgs = []
+    for mode in ("pre", "post"):
+        swp = shearwarp.ShearWarpParams(
+            n_planes=32, inter_size=(24, 20), classification=mode
+        )
+        img, _, _ = shearwarp.render_slope_grid(
+            volume, tf, eye, axis, sign, bounds, GMIN, GMAX, PARAMS, swp
+        )
+        imgs.append(np.asarray(img))
+    # texel-center discretization of the 256-entry table bounds the gap
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=5e-3)
