@@ -107,6 +107,32 @@ def pixel_slopes(camera: Camera, axis: int):
     return dirs[..., b] / safe, dirs[..., c] / safe, d_a
 
 
+def _pixel_slopes_np(camera: Camera, axis: int):
+    """Pure-numpy pixel_slopes for per-frame host planning — make_plan
+    runs every camera move and must not bounce through the device
+    (rays.make_rays semantics with sample_index=0)."""
+    vx, vy, vw, vh = camera.viewport
+    inv_proj = np.asarray(camera.inv_proj, np.float32)
+    inv_mv = np.asarray(camera.inv_mv, np.float32)
+    px = np.arange(vw, dtype=np.float32) + 0.5 + vx
+    py = np.arange(vh, dtype=np.float32) + 0.5 + vy
+    fx, fy = np.meshgrid(px, py, indexing="xy")
+    ndc_x = 2.0 * (fx - vx - vw / 2.0) / vw
+    ndc_y = 2.0 * (fy - vy - vh / 2.0) / vh
+    ones = np.ones_like(ndc_x)
+    ndc = np.stack([ndc_x, ndc_y, ones, ones], axis=-1)
+    eye_space = ndc @ inv_proj.T
+    eye_space = eye_space / eye_space[..., 3:4]
+    world = eye_space @ inv_mv.T
+    eye = inv_mv[:3, 3]
+    dirs = world[..., :3] - eye
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    b, c = _BC_AXES[axis]
+    d_a = dirs[..., axis]
+    safe = np.where(np.abs(d_a) < 1e-6, np.float32(1e-6), d_a)
+    return dirs[..., b] / safe, dirs[..., c] / safe, d_a
+
+
 def _slope_bounds(u, v, d_a, sign, margin):
     """Host-side slope-grid bounds over forward-marching pixels."""
     u = np.asarray(u)
@@ -350,8 +376,7 @@ class ShearWarpPlan:
 
 def make_plan(camera: Camera, margin: float = 0.02) -> ShearWarpPlan:
     axis, sign = choose_major_axis(camera)
-    u, v, d_a = pixel_slopes(camera, axis)
-    u, v, d_a = np.asarray(u), np.asarray(v), np.asarray(d_a)
+    u, v, d_a = _pixel_slopes_np(camera, axis)  # host-only, per frame
     return ShearWarpPlan(
         axis=axis,
         sign=sign,
