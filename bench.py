@@ -108,15 +108,8 @@ def main():
         nc_real, nb_real = (
             vol.shape[perm[1]], vol.shape[perm[2]]
         )
-        inter = shearwarp_pallas.render_classified_slope_grid(
-            chans_all[plan.axis] + s * 1e-30, nc_real, nb_real, pa
-        )
-        u0, u1, v0, v1 = plan.bounds
-        ug = jnp.linspace(u0, u1, swp.inter_size[1], dtype=jnp.float32)
-        vg = jnp.linspace(v0, v1, swp.inter_size[0], dtype=jnp.float32)
-        return shearwarp.warp_to_screen(
-            inter, ug, vg, jnp.asarray(plan.u), jnp.asarray(plan.v),
-            jnp.asarray(plan.valid),
+        return shearwarp_pallas.render_frame(
+            chans_all[plan.axis] + s * 1e-30, nc_real, nb_real, cams[i], pa
         )
 
     def chained(m):

@@ -755,3 +755,148 @@ def render_slope_grid_sharded(
     )  # (d_k, V, U_pad, 4) in front-to-back rank order
     rgb, a = fold_over(parts[..., :3], parts[..., 3])
     return jnp.concatenate([rgb, a[..., None]], axis=-1)[:, :u_size]
+
+
+# ----------------------------------------------------------- full frame
+@functools.lru_cache(maxsize=128)
+def _compiled_frame(
+    *,
+    axis: int,
+    viewport: Tuple[int, int, int, int],
+    na: int,
+    nc_real: int,
+    nb_real: int,
+    k_planes: int,
+    v_size: int,
+    u_size: int,
+    wb0: float,
+    wb1: float,
+    wc0: float,
+    wc1: float,
+    early_exit: float,
+    compute_dtype: str,
+    interpret: bool,
+):
+    """Whole camera→screen frame as ONE jitted call: fused kernel +
+    device-side per-pixel slopes (from the 4×4 matrices) + bilinear
+    screen warp as a single 2×2-patch gather.  Per-frame inputs are two
+    4×4 matrices and the 11-float view vector — nothing else moves
+    host→device, so interactive frames are a single dispatch."""
+    run = _compiled_renderer(
+        na=na,
+        nc_real=nc_real,
+        nb_real=nb_real,
+        k_planes=k_planes,
+        v_size=v_size,
+        u_size=u_size,
+        wb0=wb0,
+        wb1=wb1,
+        wc0=wc0,
+        wc1=wc1,
+        early_exit=early_exit,
+        compute_dtype=compute_dtype,
+        interpret=interpret,
+    )
+    b_axis, c_axis = sw._BC_AXES[axis]
+    vx, vy, vw, vh = viewport
+
+    @jax.jit
+    def frame(chans, inv_proj, inv_mv, vs):
+        inter = run(chans, vs)  # (V, U, 4)
+
+        # Per-pixel slopes on device (rays.make_rays math, sample 0).
+        px = jnp.arange(vw, dtype=jnp.float32) + 0.5 + vx
+        py = jnp.arange(vh, dtype=jnp.float32) + 0.5 + vy
+        fx, fy = jnp.meshgrid(px, py, indexing="xy")
+        ndc_x = 2.0 * (fx - vx - vw / 2.0) / vw
+        ndc_y = 2.0 * (fy - vy - vh / 2.0) / vh
+        ones = jnp.ones_like(ndc_x)
+        ndc = jnp.stack([ndc_x, ndc_y, ones, ones], axis=-1)
+        eye_space = ndc @ inv_proj.T
+        eye_space = eye_space / eye_space[..., 3:4]
+        world = eye_space @ inv_mv.T
+        eye = inv_mv[:3, 3]
+        dirs = world[..., :3] - eye
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        d_a = dirs[..., axis]
+        safe = jnp.where(jnp.abs(d_a) < 1e-6, 1e-6, d_a)
+        u = dirs[..., b_axis] / safe
+        v = dirs[..., c_axis] / safe
+        sign = vs[9]
+        valid = (jnp.sign(d_a) == sign).astype(jnp.float32)
+
+        # Bilinear warp via ONE 2x2-patch row gather (4 takes -> 1).
+        u0, du, dv, v0 = vs[3], vs[4], vs[5], vs[8]
+        gu = jnp.clip((u - u0) / du, 0.0, u_size - 1.0)
+        gv = jnp.clip((v - v0) / dv, 0.0, v_size - 1.0)
+        iu0 = jnp.floor(gu).astype(jnp.int32)
+        iv0 = jnp.floor(gv).astype(jnp.int32)
+        wu = (gu - iu0)[..., None]
+        wv = (gv - iv0)[..., None]
+        right = jnp.concatenate([inter[:, 1:], inter[:, -1:]], axis=1)
+        down = jnp.concatenate([inter[1:], inter[-1:]], axis=0)
+        diag = jnp.concatenate([right[1:], right[-1:]], axis=0)
+        quad = jnp.concatenate(
+            [inter, right, down, diag], axis=-1
+        ).reshape(v_size * u_size, 16)
+        g = jnp.take(quad, iv0 * u_size + iu0, axis=0)  # (H, W, 16)
+        top = g[..., 0:4] * (1 - wu) + g[..., 4:8] * wu
+        bot = g[..., 8:12] * (1 - wu) + g[..., 12:16] * wu
+        return (top * (1 - wv) + bot * wv) * valid[..., None]
+
+    return frame
+
+
+def render_frame(
+    chans: jnp.ndarray,
+    nc_real: int,
+    nb_real: int,
+    camera,
+    plan_args,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Camera → (H, W, 4) screen frame, fully on device, one dispatch.
+
+    ``plan_args`` from :func:`slope_grid_plan_args` (its eye/bounds are
+    runtime values here — only the major axis and shapes key the
+    compilation cache).
+    """
+    pa = plan_args
+    axis = pa["axis"]
+    wmin = np.asarray(pa["world_min"], np.float32)
+    wmax = np.asarray(pa["world_max"], np.float32)
+    b_axis, c_axis = sw._BC_AXES[axis]
+    swp = pa["swp"]
+    params = pa["params"]
+    frame = _compiled_frame(
+        axis=axis,
+        viewport=tuple(int(x) for x in camera.viewport),
+        na=chans.shape[0],
+        nc_real=nc_real,
+        nb_real=nb_real,
+        k_planes=swp.n_planes,
+        v_size=swp.inter_size[0],
+        u_size=swp.inter_size[1],
+        wb0=float(wmin[b_axis]),
+        wb1=float(wmax[b_axis]),
+        wc0=float(wmin[c_axis]),
+        wc1=float(wmax[c_axis]),
+        early_exit=float(params.early_exit),
+        compute_dtype=swp.compute_dtype,
+        interpret=interpret,
+    )
+    eye = np.asarray(pa["eye"], np.float32)
+    u0, u1, v0, v1 = pa["slope_bounds"]
+    v_size, u_size = swp.inter_size
+    vs = np.float32([
+        wmin[axis], wmax[axis], eye[axis],
+        u0, (u1 - u0) / (u_size - 1), (v1 - v0) / (v_size - 1),
+        eye[b_axis], eye[c_axis], v0, pa["sign"],
+        params.max_samples_per_ray,
+    ])
+    return frame(
+        chans,
+        jnp.asarray(camera.inv_proj, jnp.float32),
+        jnp.asarray(camera.inv_mv, jnp.float32),
+        jnp.asarray(vs),
+    )

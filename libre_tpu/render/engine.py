@@ -459,15 +459,10 @@ class RenderEngine:
         pa = shearwarp_pallas.slope_grid_plan_args(
             plan, -half, half, params, swp
         )
-        inter = shearwarp_pallas.render_classified_slope_grid(
-            chans, nc_real, nb_real, pa
-        )
-        u0, u1, v0, v1 = plan.bounds
-        ug = jnp.linspace(u0, u1, swp.inter_size[1], dtype=jnp.float32)
-        vg = jnp.linspace(v0, v1, swp.inter_size[0], dtype=jnp.float32)
-        return shearwarp.warp_to_screen(
-            inter, ug, vg, jnp.asarray(plan.u), jnp.asarray(plan.v),
-            jnp.asarray(plan.valid),
+        # Single-dispatch full frame: camera matrices + an 11-float view
+        # vector are the only per-frame host->device traffic.
+        return shearwarp_pallas.render_frame(
+            chans, nc_real, nb_real, camera, pa
         )
 
     def accumulate_histogram(self, nodes: Sequence[NodeId]) -> Optional[Histogram]:

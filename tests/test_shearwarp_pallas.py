@@ -149,3 +149,18 @@ def test_sharded_matches_single_device(scene):
         np.testing.assert_allclose(
             np.asarray(sharded), np.asarray(single), atol=atol
         )
+
+
+def test_render_frame_matches_two_stage(scene):
+    """The single-dispatch full-frame path (device-side slopes + one
+    patch-gather warp) == kernel + host-planned warp_to_screen."""
+    vol, tf = scene
+    cam = _camera([0.3, 0.5, 1.2])
+    ref = swp.render(vol, tf, cam, PARAMS, GMIN, GMAX, SWP, interpret=True)
+    plan = sw.make_plan(cam, SWP.slope_margin)
+    pa = swp.slope_grid_plan_args(plan, GMIN, GMAX, PARAMS, SWP)
+    chans = swp.classify_planes(vol, tf, plan.axis, PARAMS.data_source_range)
+    perm = sw._PERM[plan.axis]
+    nc_real, nb_real = vol.shape[perm[1]], vol.shape[perm[2]]
+    got = swp.render_frame(chans, nc_real, nb_real, cam, pa, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
