@@ -195,8 +195,7 @@ def _make_kernel(
         hi_ref,  # (1, 4*Nc_pad, Nb_pad) volume slice a1
         corr_ref,  # (V_pad, U_pad) per-ray opacity-correction exponent
         out_ref,  # (4, V_pad, U_pad) accumulated rgb + alpha
-        t_raw_ref,  # (V_pad, U_pad) unmasked transmittance (exit test)
-        t_eff_ref,  # (V_pad, U_pad) masked transmittance (output)
+        t_eff_ref,  # (V_pad, U_pad) transmittance carry
         done_ref,  # (1,) i32 all-rays-saturated flag
     ):
         k = pl.program_id(0)
@@ -204,7 +203,6 @@ def _make_kernel(
         @pl.when(k == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
-            t_raw_ref[:] = jnp.ones_like(t_raw_ref)
             t_eff_ref[:] = jnp.ones_like(t_eff_ref)
             done_ref[0] = 0
 
@@ -268,15 +266,20 @@ def _make_kernel(
                 for ch in range(4)
             ]  # 4 × (Vp, Up)
 
-            # Exact two-carry front-to-back composite
+            # Front-to-back composite with exact early exit
             # (shearwarp._composite_planes, fragRaycast.glsl:104-111).
+            # Single transmittance carry: the jnp form tests against the
+            # UNMASKED cumulative alpha, but both are bit-identical up to
+            # and including the crossing plane, and the mask stays 0 for
+            # all later planes under either carry (alpha accumulation is
+            # monotone), so one carry reproduces the two-carry results
+            # exactly.
             a_corr = 1.0 - jnp.power(
                 1.0 - jnp.minimum(plane[3], ALPHA_CLAMP), corr_ref[:]
             )
-            t_raw = t_raw_ref[:]
-            m = ((1.0 - t_raw) <= early_exit).astype(jnp.float32)
-            a_eff = a_corr * m
             t_eff = t_eff_ref[:]
+            m = ((1.0 - t_eff) <= early_exit).astype(jnp.float32)
+            a_eff = a_corr * m
             w = a_eff * t_eff
             out_ref[0] += w * plane[0]
             out_ref[1] += w * plane[1]
@@ -284,13 +287,15 @@ def _make_kernel(
             t_eff = t_eff * (1.0 - a_eff)
             out_ref[3] = 1.0 - t_eff
             t_eff_ref[:] = t_eff
-            t_raw_ref[:] = t_raw * (1.0 - a_corr)
 
             # Early ray termination at plane granularity: skip all
-            # remaining planes once every ray has saturated.
-            @pl.when(jnp.max(t_raw * (1.0 - a_corr)) < 1.0 - early_exit)
+            # remaining compute once every ray has saturated.  The
+            # full-grid max-reduction runs every 8th plane only.
+            @pl.when(k % 8 == 7)
             def _():
-                done_ref[0] = 1
+                @pl.when(jnp.max(t_eff) < 1.0 - early_exit)
+                def _():
+                    done_ref[0] = 1
 
     return kernel
 
@@ -461,7 +466,6 @@ def _fused_call(
             (4, v_pad, u_pad), lambda k, idx, _w, _d, _v: (0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((v_pad, u_pad), jnp.float32),
             pltpu.VMEM((v_pad, u_pad), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
         ],
