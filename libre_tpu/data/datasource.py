@@ -146,4 +146,4 @@ class DataSource:
 
 def load_plugins() -> None:
     """Import all built-in plugins (DataSource::loadPlugins equivalent)."""
-    from libre_tpu.data import memory, raw, lod_store  # noqa: F401
+    from libre_tpu.data import memory, raw, lod_store, uvf  # noqa: F401
