@@ -48,8 +48,55 @@ DEFAULT_CONFIG: Dict = {
         "sse": 1,
         "transfer_function": "",
         "volume": "",
+        # Watchdog: kill a local render job if it produces no new image
+        # for this long (livre_batch.py's idle_timeout; 0 disables).
+        "idle_timeout_min": 30,
     },
 }
+
+
+def _run_with_watchdog(cmd: List[str], out_dir: str, idle_timeout_s: float) -> None:
+    """Run a render job, killing it if no new output image lands within
+    ``idle_timeout_s`` (the reference's crude failure detection,
+    livre_batch.py idle-timeout logic — a hung renderer must not pin a
+    node for the full job time)."""
+    import threading
+    import time
+
+    proc = subprocess.Popen(cmd)
+
+    def newest_mtime() -> float:
+        try:
+            times = [
+                e.stat().st_mtime
+                for e in os.scandir(out_dir)
+                if e.name.startswith("frame_")
+            ]
+            return max(times) if times else 0.0
+        except OSError:
+            return 0.0
+
+    def watchdog():
+        last = time.time()
+        seen = newest_mtime()
+        while proc.poll() is None:
+            time.sleep(min(5.0, idle_timeout_s / 4))
+            now_m = newest_mtime()
+            if now_m > seen:
+                seen, last = now_m, time.time()
+            elif time.time() - last > idle_timeout_s:
+                print(
+                    f"watchdog: no new frame for {idle_timeout_s:.0f}s, "
+                    "killing job", file=sys.stderr,
+                )
+                proc.kill()
+                return
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    rc = proc.wait()
+    if rc != 0:
+        raise subprocess.CalledProcessError(rc, cmd)
 
 
 def missing_frame_ranges(
@@ -161,11 +208,14 @@ def submit_jobs(config: Dict, mode: str, dry_run: bool, verbose: bool) -> int:
             proc = subprocess.Popen(["sbatch"], stdin=subprocess.PIPE)
             proc.communicate(input=script.encode())
         else:
-            subprocess.run(
-                [sys.executable, "-m", "libre_tpu.apps.render_cli"]
-                + render_args(config, start, end),
-                check=True,
-            )
+            cmd = [
+                sys.executable, "-m", "libre_tpu.apps.render_cli"
+            ] + render_args(config, start, end)
+            idle_min = float(r.get("idle_timeout_min", 0) or 0)
+            if idle_min > 0:
+                _run_with_watchdog(cmd, out_dir, idle_min * 60.0)
+            else:
+                subprocess.run(cmd, check=True)
     print(f"{len(jobs)} job(s) {'planned' if dry_run else 'submitted'}, "
           f"outputs in {out_dir}")
     return 0

@@ -61,6 +61,7 @@ class RenderService:
         self._dirty = threading.Event()
         self._dirty.set()
         self._running = True
+        self._frames_rendered = 0
         self._histogram: Optional[dict] = None
         self._jnp = jnp
 
@@ -70,9 +71,29 @@ class RenderService:
             port=port,
             render_jpeg=self.render_jpeg,
             get_histogram=lambda: self._histogram,
+            get_statistics=self.statistics,
             on_change=self._dirty.set,
             on_exit=self.stop,
         )
+
+    def statistics(self) -> dict:
+        """Cache/render counters for the /statistics endpoint (the
+        Channel statistics overlay, Channel.cpp:342-436)."""
+        def cache(c):
+            s = c.statistics
+            return {
+                "hits": s.hits,
+                "misses": s.misses,
+                "objects": s.object_count,
+                "used_bytes": s.used_bytes,
+                "max_bytes": s.max_bytes,
+            }
+
+        return {
+            "data_cache": cache(self.engine.data_cache),
+            "texture_cache": cache(self.engine.texture_cache),
+            "frames_rendered": self._frames_rendered,
+        }
 
     # ----------------------------------------------------------- render
     def render_frame(self) -> np.ndarray:
@@ -138,6 +159,7 @@ class RenderService:
             t0 = time.perf_counter()
             self.render_frame()
             rendered += 1
+            self._frames_rendered = rendered
             print(
                 f"frame {rendered} rendered in "
                 f"{time.perf_counter() - t0:.2f} s",

@@ -45,12 +45,14 @@ class SteeringServer:
         port: int = 0,
         render_jpeg: Optional[Callable[[], bytes]] = None,
         get_histogram: Optional[Callable[[], Optional[dict]]] = None,
+        get_statistics: Optional[Callable[[], Optional[dict]]] = None,
         on_change: Optional[Callable[[], None]] = None,
         on_exit: Optional[Callable[[], None]] = None,
     ):
         self.frame_data = frame_data
         self._render_jpeg = render_jpeg
         self._get_histogram = get_histogram
+        self._get_statistics = get_statistics
         self._on_change = on_change or (lambda: None)
         self._on_exit = on_exit or (lambda: None)
         self._params: dict = {
@@ -96,6 +98,15 @@ class SteeringServer:
                 elif self.path == "/histogram":
                     h = outer._get_histogram() if outer._get_histogram else None
                     self._json(h or {})
+                elif self.path == "/statistics":
+                    # cache/render counters (the Channel statistics
+                    # overlay, Channel.cpp:342-436, as JSON)
+                    s = (
+                        outer._get_statistics()
+                        if outer._get_statistics
+                        else None
+                    )
+                    self._json(s or {})
                 else:
                     self._json({"error": "not found"}, 404)
 

@@ -80,6 +80,7 @@ def main(argv: Optional[list] = None) -> int:
     grab.add_argument("--output", default="frame.jpg")
 
     sub.add_parser("histogram", help="fetch the current histogram")
+    sub.add_parser("stats", help="fetch cache/render statistics")
     sub.add_parser("exit", help="shut the service down")
 
     args = p.parse_args(argv)
@@ -147,6 +148,8 @@ def main(argv: Optional[list] = None) -> int:
         print(f"wrote {args.output} ({len(data)} bytes)")
     elif args.cmd == "histogram":
         print(json.dumps(_call(f"{base}/histogram")))
+    elif args.cmd == "stats":
+        print(json.dumps(_call(f"{base}/statistics"), indent=2))
     elif args.cmd == "exit":
         print(_call(f"{base}/exit", "POST", {}))
     return 0

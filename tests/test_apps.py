@@ -36,6 +36,7 @@ def test_steering_server_roundtrip():
     server = SteeringServer(
         fd,
         render_jpeg=lambda: encode_jpeg(np.zeros((8, 8, 4), np.float32)),
+        get_statistics=lambda: {"data_cache": {"hits": 7}},
         on_change=lambda: changes.append(1),
     ).start()
     host, port = server.address
@@ -56,6 +57,10 @@ def test_steering_server_roundtrip():
 
         jpeg = _req(f"{base}/image-jpeg", "POST", {})
         assert jpeg[:2] == b"\xff\xd8"  # JPEG SOI
+
+        stats = _req(f"{base}/statistics")
+        assert stats["data_cache"]["hits"] == 7
+
         assert len(changes) == 4
     finally:
         server.stop()
@@ -121,3 +126,15 @@ def test_image_roundtrip(tmp_path):
     p = tmp_path / "t.jpg"
     write_image(str(p), img)
     assert p.read_bytes()[:2] == b"\xff\xd8"
+
+
+def test_batch_watchdog_kills_idle_job(tmp_path):
+    """livre_batch.py's idle-timeout: a job producing no frames is
+    killed instead of pinning the node."""
+    import subprocess
+    import pytest
+
+    from libre_tpu.apps.batch import _run_with_watchdog
+
+    with pytest.raises(subprocess.CalledProcessError):
+        _run_with_watchdog(["sleep", "30"], str(tmp_path), idle_timeout_s=1.0)
