@@ -40,21 +40,23 @@ rematerialization — the Pallas forward stores no residuals, matching
 the recompute strategy of SURVEY.md §7 stage 2).
 
 Measured on v5e (256² × 512 planes, 64³ volume, marginal per-frame cost
-with chained frames to cancel the ~25 ms remote-dispatch overhead):
+with chained frames to cancel the ~25 ms remote-dispatch overhead),
+optimization ladder:
 
-* jnp slab pipeline        9.7 ms
-* fused kernel, classify
-  every frame              2.3 ms   (classify ≈ 1.2 ms of it)
-* fused kernel, classified
-  stack cached             2.1 ms full frame = 0.95 kernel
-                           + 0.6 warp gather + glue
+* jnp slab pipeline                                  9.7  ms
+* fused kernel, classify every frame                 2.45 ms
+* + classified stack cached (classify was 1.2 ms)    2.07 ms
+* + on-device view tables (one scalar upload)        1.56 ms
+* + single-dispatch frame, 1-gather patch warp       1.17 ms
+* + single transmittance carry, periodic exit test   0.93 ms  (70 Mrays/s)
 
 Volume/plane scaling (kernel only, classified stack cached, 256² grid):
 64³ K=512 → 1.1 ms; 128³ K=512 → 1.3 ms; 256³ K=512 → 2.4 ms;
-256³ K=1024 → 4.1 ms.
+256³ K=1024 → 4.1 ms (pre-single-carry numbers).
 
-Kernel-stage ablation: mm2 (4 channel matmuls) ≈ 0.25 ms, everything
-else ≈ 0.67 ms — within ~2× of the MXU tile floor for these shapes.
+Kernel-stage ablation: mm2 (4 channel matmuls) ≈ 0.25 ms, the rest
+(vs lerp, matrix builds, composite, grid overhead) ≈ 0.67 ms — the
+kernel is VPU-bound, within ~2× of the MXU tile floor for these shapes.
 Casting matmul operands to bfloat16 measured neutral here (the compile
 env sets --xla_allow_excess_precision=true, which already demotes f32
 matmuls to one-pass bf16); ``ShearWarpParams.compute_dtype`` keeps the
