@@ -137,6 +137,26 @@ def classify_planes(
     return chans.reshape(na, 4 * nc_pad, nb_pad)
 
 
+def slice_content(chans: jnp.ndarray) -> jnp.ndarray:
+    """(Na,) int32 flags: 1 where classified slice ``a`` has any nonzero
+    alpha.  Feeds the kernel's empty-space skipping — the shear-warp
+    analog of Lacroute-Levoy run-length opacity encoding at plane
+    granularity.  Skipping is **bit-exact**: a plane whose bracketing
+    slices are all-zero-alpha lerps to zero alpha, so its composite step
+    is the identity (w = 0, t unchanged).  View-independent per axis;
+    the engine caches it next to the classified stack."""
+    nc_pad = chans.shape[1] // 4
+    alpha = chans[:, 3 * nc_pad :, :]
+    return (jnp.max(alpha, axis=(1, 2)) > 0.0).astype(jnp.int32)
+
+
+def _plane_activity(content: jnp.ndarray, a0: jnp.ndarray, na: int) -> jnp.ndarray:
+    """(K,) int32: plane k is active iff either bracketing slice has
+    content."""
+    a1 = jnp.minimum(a0 + 1, na - 1)
+    return jnp.take(content, a0) | jnp.take(content, a1)
+
+
 def _axis_lerp_table(z: np.ndarray, wa0: float, wa1: float, na: int):
     """Per-plane slice indices + lerp weight for the major axis — the
     scalar form of shearwarp._lerp_matrix (clamp-to-edge, half-voxel
@@ -189,6 +209,8 @@ def _make_kernel(
         idx_ref,  # (K,) i32 scalar prefetch: slice index a0 (a1 = a0+1)
         wa_ref,  # (K,) f32 scalar prefetch: axis lerp weight
         dl_ref,  # (K,) f32 scalar prefetch: z - eye_a
+        act_ref,  # (K,) i32 scalar prefetch: 1 = plane has content
+        #           (empty-space skipping; 0 planes are a bit-exact no-op)
         vw_ref,  # (6,) f32 scalar prefetch: per-VIEW scalars
         #           [ug0, du, dv, eb, ec, vg0] — runtime operands, so one
         #           compilation serves every camera (per major axis);
@@ -208,7 +230,7 @@ def _make_kernel(
             t_eff_ref[:] = jnp.ones_like(t_eff_ref)
             done_ref[0] = 0
 
-        @pl.when(done_ref[0] == 0)
+        @pl.when((done_ref[0] == 0) & (act_ref[k] == 1))
         def _():
             wa = wa_ref[k]
             delta = dl_ref[k]
@@ -346,7 +368,10 @@ def _compiled_renderer(
     )
 
     @jax.jit
-    def run(chans, vs):
+    def run(chans, vs, content):
+        # content (Na,) i32: per-slice nonzero-alpha flags (slice_content);
+        # planes whose bracketing slices are both empty are skipped
+        # in-kernel (bit-exact).  Pass ones to disable.
         # vs (11,) f32:
         # [wa0, wa1, eye_a, u0, du, dv, eb, ec, v0, sign, max_samples]
         # — the ONLY per-frame host→device transfer; the per-plane
@@ -364,6 +389,7 @@ def _compiled_renderer(
         i0 = jnp.floor(jnp.clip(sa, 0.0, float(na - 1)))
         wa = jnp.clip(sa - i0, 0.0, 1.0)
         a0 = i0.astype(jnp.int32)
+        act = _plane_activity(content, a0, na)
         dl = z - eye_a
         view6 = jnp.stack([u0, du, dv, eb, ec, v0])
         ug = u0 + du * jnp.arange(u_pad, dtype=jnp.float32)
@@ -371,7 +397,7 @@ def _compiled_renderer(
         length = jnp.sqrt(1.0 + ug[None, :] ** 2 + vg[:, None] ** 2)
         corr = msr * dz * length
         out = _fused_call(
-            kernel, chans, a0, wa, dl, view6, corr,
+            kernel, chans, a0, wa, dl, act, view6, corr,
             k_planes=k_planes,
             na=na,
             nc_pad=nc_pad,
@@ -399,11 +425,14 @@ def render_from_classified(
     params: RenderParams,
     swp: sw.ShearWarpParams,
     interpret: bool = False,
+    content: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Fused slope-space render from a prebuilt classified plane stack
     → (V, U, 4).  The engine caches ``chans`` across frames so the
     steady-state cost is the kernel alone; camera motion reuses the
-    compiled kernel (view scalars are runtime operands)."""
+    compiled kernel (view scalars are runtime operands).  ``content`` is
+    the optional (Na,) slice_content vector enabling bit-exact
+    empty-space skipping."""
     wmin = np.asarray(world_min, np.float32)
     wmax = np.asarray(world_max, np.float32)
     b_axis, c_axis = sw._BC_AXES[axis]
@@ -437,35 +466,37 @@ def render_from_classified(
         eye[b_axis], eye[c_axis], v0, sign,
         params.max_samples_per_ray,
     ])
-    return run(chans, jnp.asarray(vs))
+    if content is None:
+        content = jnp.ones((na,), jnp.int32)
+    return run(chans, jnp.asarray(vs), content)
 
 
 def _fused_call(
-    kernel, chans, a0, wa, dl, view6, corr, *,
+    kernel, chans, a0, wa, dl, act, view6, corr, *,
     k_planes, na, nc_pad, nb_pad, v_pad, u_pad, interpret,
 ):
     """Invoke the fused kernel (shared by the single-device path and the
     per-device body of the sharded path)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(k_planes,),
         in_specs=[
             pl.BlockSpec(
                 (1, 4 * nc_pad, nb_pad),
-                lambda k, idx, _w, _d, _v: (idx[k], 0, 0),
+                lambda k, idx, _w, _d, _a, _v: (idx[k], 0, 0),
             ),
             pl.BlockSpec(
                 (1, 4 * nc_pad, nb_pad),
-                lambda k, idx, _w, _d, _v: (
+                lambda k, idx, _w, _d, _a, _v: (
                     jnp.minimum(idx[k] + 1, na - 1), 0, 0
                 ),
             ),
             pl.BlockSpec(
-                (v_pad, u_pad), lambda k, idx, _w, _d, _v: (0, 0)
+                (v_pad, u_pad), lambda k, idx, _w, _d, _a, _v: (0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (4, v_pad, u_pad), lambda k, idx, _w, _d, _v: (0, 0, 0)
+            (4, v_pad, u_pad), lambda k, idx, _w, _d, _a, _v: (0, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((v_pad, u_pad), jnp.float32),
@@ -483,7 +514,7 @@ def _fused_call(
             transcendentals=k_planes * v_pad * u_pad,
         ),
         interpret=interpret,
-    )(a0, wa, dl, view6, chans, chans, corr)
+    )(a0, wa, dl, act, view6, chans, chans, corr)
 
 
 def _jnp_slope_grid(volume_zyx, tf, plan_args):
@@ -512,7 +543,7 @@ def _classified_for(volume_zyx, tf, plan_args):
 
 
 def render_classified_slope_grid(chans, nc_real, nb_real, plan_args,
-                                 interpret=False):
+                                 interpret=False, content=None):
     """Kernel-only path from a cached classified stack (inference)."""
     return render_from_classified(
         chans,
@@ -527,6 +558,7 @@ def render_classified_slope_grid(chans, nc_real, nb_real, plan_args,
         params=plan_args["params"],
         swp=plan_args["swp"],
         interpret=interpret,
+        content=content,
     )
 
 
@@ -543,7 +575,8 @@ def render_slope_grid_pallas(volume_zyx, tf, plan_args, interpret=False):
     nc_real, nb_real = shape[perm[1]], shape[perm[2]]
     chans = _classified_for(volume_zyx, tf, plan_args)
     return render_classified_slope_grid(
-        chans, nc_real, nb_real, plan_args, interpret
+        chans, nc_real, nb_real, plan_args, interpret,
+        content=slice_content(chans),
     )
 
 
@@ -645,6 +678,7 @@ def render_slope_grid_sharded(
     ray_axis: str = None,
     brick_axis: str = None,
     interpret: bool = False,
+    content: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Multi-device fused render: slope rows × plane ranges over the mesh
     → (V, U, 4).
@@ -696,6 +730,11 @@ def render_slope_grid_sharded(
     z = np.where(sign > 0, wa0 + (j + 0.5) * dz, wa1 - (j + 0.5) * dz)
     a0, _, w_axis = _axis_lerp_table(z, wa0, wa1, na)
     delta = (z - eye[axis]).astype(np.float32)
+    if content is None:
+        act = np.ones((k_planes,), np.int32)
+    else:
+        c = np.asarray(content, np.int32)
+        act = c[a0] | c[np.minimum(a0 + 1, na - 1)]
 
     u0, u1, v0, v1 = pa["slope_bounds"]
     du = (u1 - u0) / (u_size - 1)
@@ -720,7 +759,7 @@ def render_slope_grid_sharded(
     )
     msr = pa["params"].max_samples_per_ray
 
-    def body(chans_l, a0_l, wa_l, dl_l):
+    def body(chans_l, a0_l, wa_l, dl_l, act_l):
         vd = jax.lax.axis_index(ray_axis)
         vg0 = v0 + dv * (vd * v_l).astype(jnp.float32)
         vg = vg0 + dv * jnp.arange(v_l, dtype=jnp.float32)
@@ -736,6 +775,7 @@ def render_slope_grid_sharded(
             a0_l,
             wa_l,
             dl_l,
+            act_l,
             view6,
             corr,
             k_planes=k_l,
@@ -751,13 +791,16 @@ def render_slope_grid_sharded(
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(brick_axis), P(brick_axis), P(brick_axis)),
+        in_specs=(
+            P(), P(brick_axis), P(brick_axis), P(brick_axis), P(brick_axis),
+        ),
         out_specs=P(brick_axis, ray_axis),
         # pallas_call outputs carry no varying-mesh-axes annotation yet
         check_vma=False,
     )
     parts = fn(
-        chans, jnp.asarray(a0), jnp.asarray(w_axis), jnp.asarray(delta)
+        chans, jnp.asarray(a0), jnp.asarray(w_axis), jnp.asarray(delta),
+        jnp.asarray(act),
     )  # (d_k, V, U_pad, 4) in front-to-back rank order
     rgb, a = fold_over(parts[..., :3], parts[..., 3])
     return jnp.concatenate([rgb, a[..., None]], axis=-1)[:, :u_size]
@@ -807,8 +850,8 @@ def _compiled_frame(
     vx, vy, vw, vh = viewport
 
     @jax.jit
-    def frame(chans, inv_proj, inv_mv, vs):
-        inter = run(chans, vs)  # (V, U, 4)
+    def frame(chans, inv_proj, inv_mv, vs, content):
+        inter = run(chans, vs, content)  # (V, U, 4)
 
         # Per-pixel slopes on device (rays.make_rays math, sample 0).
         px = jnp.arange(vw, dtype=jnp.float32) + 0.5 + vx
@@ -860,6 +903,7 @@ def render_frame(
     camera,
     plan_args,
     interpret: bool = False,
+    content: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Camera → (H, W, 4) screen frame, fully on device, one dispatch.
 
@@ -900,9 +944,12 @@ def render_frame(
         eye[b_axis], eye[c_axis], v0, pa["sign"],
         params.max_samples_per_ray,
     ])
+    if content is None:
+        content = jnp.ones((chans.shape[0],), jnp.int32)
     return frame(
         chans,
         jnp.asarray(camera.inv_proj, jnp.float32),
         jnp.asarray(camera.inv_mv, jnp.float32),
         jnp.asarray(vs),
+        content,
     )

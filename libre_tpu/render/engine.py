@@ -452,17 +452,20 @@ class RenderEngine:
             )
             perm = shearwarp._PERM[plan.axis]
             nc_real, nb_real = volume.shape[perm[1]], volume.shape[perm[2]]
-            cached = (chans, nc_real, nb_real)
+            # Per-slice content flags: bit-exact empty-space skipping in
+            # the kernel (view-independent, cached with the stack).
+            content = shearwarp_pallas.slice_content(chans)
+            cached = (chans, nc_real, nb_real, content)
             self._classified_cache.clear()  # one level/TF pairing at a time
             self._classified_cache[key] = cached
-        chans, nc_real, nb_real = cached
+        chans, nc_real, nb_real, content = cached
         pa = shearwarp_pallas.slope_grid_plan_args(
             plan, -half, half, params, swp
         )
         # Single-dispatch full frame: camera matrices + an 11-float view
         # vector are the only per-frame host->device traffic.
         return shearwarp_pallas.render_frame(
-            chans, nc_real, nb_real, camera, pa
+            chans, nc_real, nb_real, camera, pa, content=content
         )
 
     def accumulate_histogram(self, nodes: Sequence[NodeId]) -> Optional[Histogram]:

@@ -94,6 +94,76 @@ def test_early_exit_saturated_volume(scene):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("eye", EYES, ids=["z-", "x-", "y-", "z+"])
+def test_empty_space_skipping_exact(eye):
+    """Planes whose bracketing slices are all-zero-alpha are skipped
+    in-kernel (slice_content flags) and the result is bit-exact vs the
+    jnp pipeline: a zero-alpha plane composites as the identity."""
+    rng = np.random.default_rng(1)
+    vol = np.zeros((20, 24, 28), dtype=np.float32)
+    vol[7:13, 8:16, 9:19] = rng.random((6, 8, 10), dtype=np.float32) * 0.5 + 0.5
+    vol = jnp.asarray(vol)
+    # alpha 0 for the lower half of the table -> empty border slabs.
+    tf = np.asarray(tf_ops.default_color_map(64))
+    tf[:32, 3] = 0.0
+    tf = jnp.asarray(tf)
+
+    plan = sw.make_plan(_camera(eye))
+    chans = swp.classify_planes(vol, tf, plan.axis, PARAMS.data_source_range)
+    content = swp.slice_content(chans)
+    content_np = np.asarray(content)
+    assert content_np.min() == 0 and content_np.max() == 1  # really skips
+
+    ref, _, _ = sw.render_slope_grid(
+        vol, tf, plan.eye, plan.axis, plan.sign, plan.bounds,
+        GMIN, GMAX, PARAMS, SWP,
+    )
+    pa = swp.slope_grid_plan_args(plan, GMIN, GMAX, PARAMS, SWP)
+    perm = sw._PERM[plan.axis]
+    nc_real, nb_real = vol.shape[perm[1]], vol.shape[perm[2]]
+    got = swp.render_classified_slope_grid(
+        chans, nc_real, nb_real, pa, True, content=content
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    # Skipping is exact: identical to the same kernel with skipping off.
+    full = swp.render_classified_slope_grid(
+        chans, nc_real, nb_real, pa, True,
+        content=jnp.ones_like(content),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(full))
+
+
+def test_empty_space_skipping_sharded():
+    """content flags thread through the sharded fused path too."""
+    from libre_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(2)
+    vol = np.zeros((20, 24, 28), dtype=np.float32)
+    vol[7:13, 8:16, 9:19] = rng.random((6, 8, 10), dtype=np.float32) * 0.5 + 0.5
+    vol = jnp.asarray(vol)
+    tf = np.asarray(tf_ops.default_color_map(64))
+    tf[:32, 3] = 0.0
+    tf = jnp.asarray(tf)
+
+    mesh = make_mesh(n_brick=2, n_ray=4)
+    plan = sw.make_plan(_camera([0.3, 0.5, 1.2]))
+    swp_cfg = sw.ShearWarpParams(n_planes=24, inter_size=(32, 40))
+    chans = swp.classify_planes(vol, tf, plan.axis, PARAMS.data_source_range)
+    content = swp.slice_content(chans)
+    perm = sw._PERM[plan.axis]
+    nc_real, nb_real = vol.shape[perm[1]], vol.shape[perm[2]]
+    pa = swp.slope_grid_plan_args(plan, GMIN, GMAX, PARAMS, swp_cfg)
+    single = swp.render_classified_slope_grid(
+        chans, nc_real, nb_real, pa, True, content=content
+    )
+    sharded = swp.render_slope_grid_sharded(
+        mesh, chans, nc_real, nb_real, pa, interpret=True, content=content
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=2e-3
+    )
+
+
 def test_gradients_match_jnp(scene):
     """custom_vjp backward (jnp recompute) == differentiating the jnp
     pipeline directly, for both the volume and the transfer function."""
