@@ -133,6 +133,67 @@ def _pixel_slopes_np(camera: Camera, axis: int):
     return dirs[..., b] / safe, dirs[..., c] / safe, d_a
 
 
+def _boundary_slopes_np(camera: Camera, axis: int):
+    """_pixel_slopes_np evaluated on the viewport BOUNDARY pixels only
+    (~2(W+H) rays instead of W·H).  The slopes u = dir_b/dir_a are
+    ratios of functions linear in pixel coordinates, so their extrema
+    over the (convex) viewport lie on its boundary — sufficient for
+    slope-bounds planning at ~1/60 the host cost."""
+    vx, vy, vw, vh = camera.viewport
+    inv_proj = np.asarray(camera.inv_proj, np.float32)
+    inv_mv = np.asarray(camera.inv_mv, np.float32)
+    px = np.arange(vw, dtype=np.float32) + 0.5 + vx
+    py = np.arange(vh, dtype=np.float32) + 0.5 + vy
+    fx = np.concatenate([px, px, np.full(vh, px[0]), np.full(vh, px[-1])])
+    fy = np.concatenate([np.full(vw, py[0]), np.full(vw, py[-1]), py, py])
+    ndc_x = 2.0 * (fx - vx - vw / 2.0) / vw
+    ndc_y = 2.0 * (fy - vy - vh / 2.0) / vh
+    ones = np.ones_like(ndc_x)
+    ndc = np.stack([ndc_x, ndc_y, ones, ones], axis=-1)
+    eye_space = ndc @ inv_proj.T
+    eye_space = eye_space / eye_space[..., 3:4]
+    world = eye_space @ inv_mv.T
+    eye = inv_mv[:3, 3]
+    dirs = world[..., :3] - eye
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    b, c = _BC_AXES[axis]
+    d_a = dirs[..., axis]
+    safe = np.where(np.abs(d_a) < 1e-6, np.float32(1e-6), d_a)
+    return dirs[..., b] / safe, dirs[..., c] / safe, d_a
+
+
+def choose_major_axis_np(camera: Camera) -> Tuple[int, float]:
+    inv_mv = np.asarray(camera.inv_mv)
+    view_dir = -inv_mv[:3, 2]
+    axis = int(np.argmax(np.abs(view_dir)))
+    return axis, float(np.sign(view_dir[axis]) or 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViewPlan:
+    """Light per-view plan for single-dispatch frame paths: axis, sign,
+    slope bounds, eye — no per-pixel slope grids (those are computed on
+    device by warp_frame_device).  ~0.1 ms host cost vs make_plan's
+    ~5 ms at 256², which dominates the steady-state frame budget on
+    dispatch-latency-bound platforms."""
+
+    axis: int
+    sign: float
+    bounds: Tuple[float, float, float, float]
+    eye: np.ndarray
+
+
+def make_view_plan(camera: Camera, margin: float = 0.02) -> ViewPlan:
+    axis, sign = choose_major_axis_np(camera)
+    u, v, d_a = _boundary_slopes_np(camera, axis)
+    return ViewPlan(
+        axis=axis,
+        sign=sign,
+        bounds=_slope_bounds(u, v, d_a, sign, margin),
+        eye=np.asarray(camera.inv_mv)[:3, 3].astype(np.float32),
+    )
+
+
 def _slope_bounds(u, v, d_a, sign, margin):
     """Host-side slope-grid bounds over forward-marching pixels."""
     u = np.asarray(u)
@@ -360,6 +421,61 @@ def warp_to_screen(
     return out * valid[..., None]
 
 
+def warp_frame_device(
+    inter: jnp.ndarray,  # (V, U, 4) slope-space image
+    inv_proj: jnp.ndarray,
+    inv_mv: jnp.ndarray,
+    u0, du, dv, v0, sign,  # runtime view scalars
+    *,
+    axis: int,
+    viewport: Tuple[int, int, int, int],
+    v_size: int,
+    u_size: int,
+) -> jnp.ndarray:
+    """Device-side camera→screen warp for single-dispatch frames:
+    per-pixel slopes from the 4×4 matrices (rays.make_rays math,
+    sample 0), then a bilinear warp as ONE 2×2-patch row gather
+    (4 takes → 1).  Shared by the pre-classified and bricked fused
+    frame paths."""
+    b_axis, c_axis = _BC_AXES[axis]
+    vx, vy, vw, vh = viewport
+    px = jnp.arange(vw, dtype=jnp.float32) + 0.5 + vx
+    py = jnp.arange(vh, dtype=jnp.float32) + 0.5 + vy
+    fx, fy = jnp.meshgrid(px, py, indexing="xy")
+    ndc_x = 2.0 * (fx - vx - vw / 2.0) / vw
+    ndc_y = 2.0 * (fy - vy - vh / 2.0) / vh
+    ones = jnp.ones_like(ndc_x)
+    ndc = jnp.stack([ndc_x, ndc_y, ones, ones], axis=-1)
+    eye_space = ndc @ inv_proj.T
+    eye_space = eye_space / eye_space[..., 3:4]
+    world = eye_space @ inv_mv.T
+    eye = inv_mv[:3, 3]
+    dirs = world[..., :3] - eye
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    d_a = dirs[..., axis]
+    safe = jnp.where(jnp.abs(d_a) < 1e-6, 1e-6, d_a)
+    u = dirs[..., b_axis] / safe
+    v = dirs[..., c_axis] / safe
+    valid = (jnp.sign(d_a) == sign).astype(jnp.float32)
+
+    gu = jnp.clip((u - u0) / du, 0.0, u_size - 1.0)
+    gv = jnp.clip((v - v0) / dv, 0.0, v_size - 1.0)
+    iu0 = jnp.floor(gu).astype(jnp.int32)
+    iv0 = jnp.floor(gv).astype(jnp.int32)
+    wu = (gu - iu0)[..., None]
+    wv = (gv - iv0)[..., None]
+    right = jnp.concatenate([inter[:, 1:], inter[:, -1:]], axis=1)
+    down = jnp.concatenate([inter[1:], inter[-1:]], axis=0)
+    diag = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    quad = jnp.concatenate(
+        [inter, right, down, diag], axis=-1
+    ).reshape(v_size * u_size, 16)
+    g = jnp.take(quad, iv0 * u_size + iu0, axis=0)  # (H, W, 16)
+    top = g[..., 0:4] * (1 - wu) + g[..., 4:8] * wu
+    bot = g[..., 8:12] * (1 - wu) + g[..., 12:16] * wu
+    return (top * (1 - wv) + bot * wv) * valid[..., None]
+
+
 @dataclasses.dataclass(frozen=True)
 class ShearWarpPlan:
     """Host-computed per-view plan (build OUTSIDE jit: the slope bounds
@@ -438,10 +554,19 @@ def plane_oracle(
     params: RenderParams,
     n_planes: int,
     classification: str = "pre",
+    clip_planes_world=None,
+    sentinel_mask: bool = False,
 ) -> jnp.ndarray:
     """Gather-based marcher over the IDENTICAL sample set (ray∩plane
     points, trilinear, same opacity correction, same early exit) →
-    (R, 4).  Slow; exactness oracle for the matmul pipeline."""
+    (R, 4).  Slow; exactness oracle for the matmul pipeline.
+
+    ``clip_planes_world``: optional (N, 4) rows [nx, ny, nz, d]; samples
+    where n·x + d < 0 are dropped (the per-sample form of the
+    fragRaycast.glsl:162-174 ray-interval clamp — equal for convex
+    sets).  ``sentinel_mask``: in post mode, drop samples whose
+    interpolated density is < -0.5 (the bricked path's uncovered-voxel
+    SENTINEL semantics, ops/shearwarp_bricked.py)."""
     from libre_tpu.ops.reference import sample_density
 
     wmin = np.asarray(world_min, np.float32)
@@ -474,6 +599,16 @@ def plane_oracle(
         (pb >= wmin[b_axis]) & (pb < wmax[b_axis])
         & (pc >= wmin[c_axis]) & (pc < wmax[c_axis])
     )
+    if clip_planes_world is not None and len(clip_planes_world):
+        cp = np.asarray(clip_planes_world, np.float32).reshape(-1, 4)
+        pa = jnp.broadcast_to(z[None, :], pb.shape)
+        world = {axis: pa, b_axis: pb, c_axis: pc}
+        for row in cp:
+            expr = (
+                row[0] * world[0] + row[1] * world[1] + row[2] * world[2]
+                + row[3]
+            )
+            inside = inside & (expr >= 0.0)
 
     # world → tex (whole volume, no padding); world axes (0,1,2) = (x,y,z).
     def tex(p, lo, hi):
@@ -498,6 +633,8 @@ def plane_oracle(
     else:
         dens = sample_density(dens_vol, tex_pos, "trilinear")  # (R, K)
         rgba = tf_ops.lookup(tf, dens)  # outside masked via a_v below
+        if sentinel_mask:
+            inside = inside & (dens > -0.5)
 
     a_corr = 1.0 - jnp.power(
         1.0 - jnp.minimum(rgba[..., 3], ALPHA_CLAMP), corr[:, None]

@@ -846,52 +846,14 @@ def _compiled_frame(
         compute_dtype=compute_dtype,
         interpret=interpret,
     )
-    b_axis, c_axis = sw._BC_AXES[axis]
-    vx, vy, vw, vh = viewport
-
     @jax.jit
     def frame(chans, inv_proj, inv_mv, vs, content):
         inter = run(chans, vs, content)  # (V, U, 4)
-
-        # Per-pixel slopes on device (rays.make_rays math, sample 0).
-        px = jnp.arange(vw, dtype=jnp.float32) + 0.5 + vx
-        py = jnp.arange(vh, dtype=jnp.float32) + 0.5 + vy
-        fx, fy = jnp.meshgrid(px, py, indexing="xy")
-        ndc_x = 2.0 * (fx - vx - vw / 2.0) / vw
-        ndc_y = 2.0 * (fy - vy - vh / 2.0) / vh
-        ones = jnp.ones_like(ndc_x)
-        ndc = jnp.stack([ndc_x, ndc_y, ones, ones], axis=-1)
-        eye_space = ndc @ inv_proj.T
-        eye_space = eye_space / eye_space[..., 3:4]
-        world = eye_space @ inv_mv.T
-        eye = inv_mv[:3, 3]
-        dirs = world[..., :3] - eye
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        d_a = dirs[..., axis]
-        safe = jnp.where(jnp.abs(d_a) < 1e-6, 1e-6, d_a)
-        u = dirs[..., b_axis] / safe
-        v = dirs[..., c_axis] / safe
-        sign = vs[9]
-        valid = (jnp.sign(d_a) == sign).astype(jnp.float32)
-
-        # Bilinear warp via ONE 2x2-patch row gather (4 takes -> 1).
-        u0, du, dv, v0 = vs[3], vs[4], vs[5], vs[8]
-        gu = jnp.clip((u - u0) / du, 0.0, u_size - 1.0)
-        gv = jnp.clip((v - v0) / dv, 0.0, v_size - 1.0)
-        iu0 = jnp.floor(gu).astype(jnp.int32)
-        iv0 = jnp.floor(gv).astype(jnp.int32)
-        wu = (gu - iu0)[..., None]
-        wv = (gv - iv0)[..., None]
-        right = jnp.concatenate([inter[:, 1:], inter[:, -1:]], axis=1)
-        down = jnp.concatenate([inter[1:], inter[-1:]], axis=0)
-        diag = jnp.concatenate([right[1:], right[-1:]], axis=0)
-        quad = jnp.concatenate(
-            [inter, right, down, diag], axis=-1
-        ).reshape(v_size * u_size, 16)
-        g = jnp.take(quad, iv0 * u_size + iu0, axis=0)  # (H, W, 16)
-        top = g[..., 0:4] * (1 - wu) + g[..., 4:8] * wu
-        bot = g[..., 8:12] * (1 - wu) + g[..., 12:16] * wu
-        return (top * (1 - wv) + bot * wv) * valid[..., None]
+        return sw.warp_frame_device(
+            inter, inv_proj, inv_mv,
+            vs[3], vs[4], vs[5], vs[8], vs[9],
+            axis=axis, viewport=viewport, v_size=v_size, u_size=u_size,
+        )
 
     return frame
 

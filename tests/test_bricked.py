@@ -1,0 +1,528 @@
+"""Brick-atlas fused fast path (ops/shearwarp_bricked.py).
+
+The bricked renderer must (a) assemble the mixed-LOD rendering set out
+of the HBM atlas exactly, (b) match the post-classification plane
+oracle on the identical sample set, (c) compose memory-bounded A-slab
+passes bit-identically to a single pass (the step-grid-alignment
+property of fragRaycast.glsl:152-158 generalized to slabs), (d) honor
+clip planes and partial coverage, and (e) re-render on a transfer
+function edit without touching the assembled volume.
+
+Reference behaviors matched: the in-kernel brick loop of
+renderers/cudaRaycaster/cuda/Renderer.cu:95-230, the texture atlas of
+cuda/TexturePool.cu:101-214, post-classification of
+renderers/glRaycaster/shaders/fragRaycast.glsl:188-205, multipass
+batching of GLRaycastPipeline.cpp:148-186, and the ancestor-fallback
+rendering set of RenderingSetGeneratorFilter.ipp:27-134.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libre_tpu.core.nodeid import NodeId
+from libre_tpu.data.datasource import DataSource
+from libre_tpu.data.lod_store import build_lod_store, _downsample2
+from libre_tpu.ops import shearwarp as sw
+from libre_tpu.ops import shearwarp_bricked as swb
+from libre_tpu.ops import transfer_function as tf_ops
+from libre_tpu.ops.atlas import BrickAtlas
+from libre_tpu.ops.reference import RenderParams
+from tests.test_reference_marcher import make_volume
+
+GMIN = np.float32([-0.5] * 3)
+GMAX = np.float32([0.5] * 3)
+BOUNDS = (-0.45, 0.45, -0.4, 0.4)
+EYE = np.float32([0.1, 0.05, 1.4])
+AXIS, SIGN = 2, -1.0
+
+
+def make_scene(tmp_path, n=32, block=16, seed=3):
+    vol = make_volume(n, seed=seed).astype(np.float32)
+    path = str(tmp_path / f"scene_{n}.lod")
+    build_lod_store(vol, path, block_size=block, overlap=2)
+    return vol, DataSource(f"lod://{path}")
+
+
+def upload_nodes(ds, nodes, n_slots=None):
+    info = ds.volume_info
+    padded = info.maximum_block_size
+    atlas = BrickAtlas(
+        n_slots or len(nodes) + 2, (padded[2], padded[1], padded[0]),
+        jnp.float32,
+    )
+    slot_map = {}
+    for n in nodes:
+        s = atlas.acquire()
+        atlas.upload(s, ds.get_data(n).astype(np.float32))
+        slot_map[n.id] = s
+    return atlas, lambda n: slot_map[n.id]
+
+
+def fine_nodes(ds):
+    info = ds.volume_info
+    level = info.root_node.depth - 1
+    bx, by, bz = info.block_size
+    vx, vy, vz = info.voxels
+    return [
+        NodeId.from_coords(level, (px, py, pz))
+        for px in range(-(-vx // bx))
+        for py in range(-(-vy // by))
+        for pz in range(-(-vz // bz))
+    ], level
+
+
+def oracle_grid(volume, tf, params, swp, sign=SIGN, axis=AXIS, eye=EYE,
+                bounds=BOUNDS, **kw):
+    """plane_oracle(post) on exactly the slope-grid rays → (V, U, 4)."""
+    v_size, u_size = swp.inter_size
+    u0, u1, v0, v1 = bounds
+    ug = np.linspace(u0, u1, u_size, dtype=np.float32)
+    vg = np.linspace(v0, v1, v_size, dtype=np.float32)
+    uu, vv = np.meshgrid(ug, vg, indexing="xy")
+    return np.asarray(
+        sw.plane_oracle(
+            jnp.asarray(volume), tf, eye, axis, sign,
+            (jnp.asarray(uu.reshape(-1)), jnp.asarray(vv.reshape(-1))),
+            GMIN, GMAX, params, swp.n_planes, classification="post", **kw,
+        )
+    ).reshape(v_size, u_size, 4)
+
+
+PARAMS = RenderParams(
+    n_samples_per_ray=64, data_source_range=(0.0, 1.0),
+    filter_mode="trilinear",
+)
+SWP = sw.ShearWarpParams(
+    n_planes=64, inter_size=(24, 20), classification="post"
+)
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bricked")
+    vol, ds = make_scene(tmp)
+    nodes, _ = fine_nodes(ds)
+    atlas, slot_of = upload_nodes(ds, nodes)
+    plan = swb.build_assembly_plan(ds, nodes, AXIS, slot_of, (0.0, 1.0))
+    tf = jnp.asarray(tf_ops.default_color_map(256))
+    return vol, ds, atlas, plan, tf
+
+
+def render(atlas, plan, tf, **kw):
+    return np.asarray(
+        swb.render_bricked_slope_grid(
+            atlas.data, plan, tf,
+            eye=EYE, sign=SIGN, slope_bounds=BOUNDS,
+            world_min=GMIN, world_max=GMAX, params=PARAMS, swp=SWP,
+            interpret=True, **kw,
+        )
+    )
+
+
+def test_assembly_full_fine_level_exact(scene):
+    """All finest bricks resident+owned ⇒ the assembled store IS the
+    (permuted, normalized) dense volume, bit-exact."""
+    vol, ds, atlas, plan, tf = scene
+    store = np.asarray(swb.assemble_store(atlas.data, plan))
+    na, nc, nb = plan.fine_dims
+    expected = np.transpose(vol, sw._PERM[AXIS])
+    np.testing.assert_array_equal(store[:na, :nc, :nb], expected)
+    # Padding rows/cols carry the uncovered sentinel.
+    assert (store[:, nc:, :] == swb.SENTINEL).all()
+    assert (store[:, :, nb:] == swb.SENTINEL).all()
+
+
+def test_kernel_matches_post_oracle(scene):
+    """Fused kernel == gather plane-oracle with reference
+    post-classification semantics (fragRaycast.glsl:188-205)."""
+    vol, ds, atlas, plan, tf = scene
+    got = render(atlas, plan, tf)
+    want = oracle_grid(vol, tf, PARAMS, SWP)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_slab_multipass_bitexact(scene):
+    """Memory-bounded A-slab passes == single sweep, bit-identical
+    (GLRaycastPipeline.cpp:148-186 + glsl:152-158 step-grid alignment)."""
+    vol, ds, atlas, plan, tf = scene
+    ref = render(atlas, plan, tf)
+    for max_slices in (4, 7, 13):
+        got = render(atlas, plan, tf, max_slab_slices=max_slices)
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_prebuilt_store_path(scene):
+    """The engine's steady-state cache: passing an assembled store skips
+    assembly and matches the assemble-per-call result exactly."""
+    vol, ds, atlas, plan, tf = scene
+    store = swb.assemble_store(atlas.data, plan)
+    got = render(atlas, plan, tf, store=store)
+    np.testing.assert_array_equal(got, render(atlas, plan, tf))
+
+
+def test_tf_edit_rerenders_without_reassembly(scene):
+    """The TF is a runtime kernel operand: editing it re-renders from the
+    same store (the reference re-uploads a 256×4 texture only,
+    GLRaycastRenderer.cpp:175-193)."""
+    vol, ds, atlas, plan, tf = scene
+    store = swb.assemble_store(atlas.data, plan)
+    tf2 = jnp.asarray(np.roll(np.asarray(tf), 64, axis=0))
+    got = render(atlas, plan, tf2, store=store)
+    want = oracle_grid(vol, tf2, PARAMS, SWP)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # and it actually differs from the original TF's image
+    assert np.abs(got - render(atlas, plan, tf, store=store)).max() > 1e-3
+
+
+def test_clip_planes_match_oracle(scene):
+    """Per-sample half-space clipping == the oracle's clipped march
+    (fragRaycast.glsl:162-174 for a convex clip set)."""
+    vol, ds, atlas, plan, tf = scene
+    clip = np.float32([[1.0, 0.0, 0.0, 0.1], [0.0, -1.0, 0.5, 0.2]])
+    got = render(atlas, plan, tf, clip_planes_world=clip)
+    want = oracle_grid(vol, tf, PARAMS, SWP, clip_planes_world=clip)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    assert np.abs(got - render(atlas, plan, tf)).max() > 1e-3
+
+
+def test_partial_coverage_sentinel(tmp_path):
+    """Rendering set missing a brick: uncovered samples contribute
+    nothing (CacheLoadException degradation — never a crash,
+    RenderingSetGeneratorFilter.ipp:39-55)."""
+    vol, ds = make_scene(tmp_path)
+    nodes, _ = fine_nodes(ds)
+    kept = [n for n in nodes if n.position != (0, 0, 0)]
+    atlas, slot_of = upload_nodes(ds, kept)
+    plan = swb.build_assembly_plan(ds, kept, AXIS, slot_of, (0.0, 1.0))
+    got = render(atlas, plan, tf_ops.default_color_map(256))
+
+    # Oracle: dense volume with the missing octant's voxels at SENTINEL.
+    masked = vol.copy()
+    masked[:16, :16, :16] = swb.SENTINEL
+    want = oracle_grid(
+        masked, jnp.asarray(tf_ops.default_color_map(256)), PARAMS, SWP,
+        sentinel_mask=True,
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def numpy_reference_assembly(ds, levels_sets, axis, data_range=(0.0, 1.0)):
+    """Independent numpy assembly: per level, mask non-resident brick
+    cores to zero value / zero coverage, upsample value+coverage with
+    the two-tap matrices, blend by normalized convolution under the
+    ownership masks."""
+    info = ds.volume_info
+    depth = info.root_node.depth
+    perm = sw._PERM[axis]
+    bx, by, bz = info.block_size
+    render_level = max(levels_sets)
+    shift = depth - 1 - render_level
+    fx, fy, fz = (max(1, d >> shift) for d in info.voxels)
+
+    num = None
+    den = None
+    for level, nodes in sorted(levels_sets.items()):
+        lshift = depth - 1 - level
+        lx, ly, lz = (max(1, d >> lshift) for d in info.voxels)
+        vals = np.zeros((lz, ly, lx), np.float32)
+        cov = np.zeros((lz, ly, lx), np.float32)
+        own = np.zeros((lz, ly, lx), np.float32)
+        ox, oy, oz = info.overlap
+        for n in nodes:
+            brick = ds.get_data(n).astype(np.float32)
+            core = brick[oz:-oz or None, oy:-oy or None, ox:-ox or None]
+            px, py, pz = n.position
+            z0, y0, x0 = pz * bz, py * by, px * bx
+            ze = min(z0 + core.shape[0], lz)
+            ye = min(y0 + core.shape[1], ly)
+            xe = min(x0 + core.shape[2], lx)
+            vals[z0:ze, y0:ye, x0:xe] = core[: ze - z0, : ye - y0, : xe - x0]
+            cov[z0:ze, y0:ye, x0:xe] = 1.0
+            own[z0:ze, y0:ye, x0:xe] = 1.0
+
+        f = 1 << (render_level - level)
+        if f > 1:
+            mz = swb._upsample_matrix(fz, lz, 0, fz - 1, 0, lz)
+            my = swb._upsample_matrix(fy, ly, 0, fy - 1, 0, ly)
+            mx = swb._upsample_matrix(fx, lx, 0, fx - 1, 0, lx)
+
+            def up(x):
+                x = np.einsum("fz,zyx->fyx", mz, x)
+                x = np.einsum("gy,fyx->fgx", my, x)
+                return np.einsum("hx,fgx->fgh", mx, x)
+
+            v_up, c_up = up(vals), up(cov)
+            own_up = np.repeat(
+                np.repeat(np.repeat(own, f, 0)[:fz], f, 1)[:, :fy], f, 2
+            )[:, :, :fx]
+        else:
+            v_up, c_up, own_up = vals, cov, own
+        num = v_up * own_up if num is None else num + v_up * own_up
+        den = c_up * own_up if den is None else den + c_up * own_up
+
+    covered = den > 0.01
+    lo, hi = data_range
+    dens = np.where(covered, num / np.maximum(den, 1e-6), 0.0)
+    dens = np.clip((dens - lo) / (hi - lo), 0.0, 1.0)
+    dens = np.where(covered, dens, swb.SENTINEL)
+    return np.transpose(dens, perm)
+
+
+def test_mixed_lod_assembly_and_render(tmp_path):
+    """Depth-3 store, rendering set = finest bricks everywhere except
+    one octant substituted by its level-1 parent (the ancestor-fallback
+    result).  Assembly matches an independent numpy blend; the render
+    matches the post oracle over the assembled density volume."""
+    vol, ds = make_scene(tmp_path, n=64, block=16)
+    info = ds.volume_info
+    depth = info.root_node.depth
+    assert depth == 3
+    fine = depth - 1
+    nodes, _ = fine_nodes(ds)
+    # Drop the 2×2×2 fine bricks of the (0,0,0) octant; substitute parent.
+    parent = NodeId.from_coords(fine - 1, (0, 0, 0))
+    kept = [
+        n for n in nodes if not all(p < 2 for p in n.position)
+    ] + [parent]
+    atlas, slot_of = upload_nodes(ds, kept)
+    plan = swb.build_assembly_plan(ds, kept, AXIS, slot_of, (0.0, 1.0))
+    store = np.asarray(swb.assemble_store(atlas.data, plan))
+
+    want = numpy_reference_assembly(
+        ds, {fine: [n for n in kept if n.level == fine], fine - 1: [parent]},
+        AXIS,
+    )
+    na, nc, nb = plan.fine_dims
+    np.testing.assert_allclose(store[:na, :nc, :nb], want, atol=1e-5)
+
+    # Kernel render over the mixed store == post oracle on that store
+    # (inverse-permute back to (Z, Y, X) world-array order).
+    tf = jnp.asarray(tf_ops.default_color_map(256))
+    swp = sw.ShearWarpParams(
+        n_planes=48, inter_size=(16, 16), classification="post"
+    )
+    params = RenderParams(
+        n_samples_per_ray=48, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear",
+    )
+    got = np.asarray(
+        swb.render_bricked_slope_grid(
+            atlas.data, plan, tf,
+            eye=EYE, sign=SIGN, slope_bounds=BOUNDS,
+            world_min=GMIN, world_max=GMAX, params=params, swp=swp,
+            interpret=True,
+        )
+    )
+    inv = np.argsort(sw._PERM[AXIS])
+    dense = np.transpose(store[:na, :nc, :nb], inv)
+    want_img = oracle_grid(dense, tf, params, swp, sentinel_mask=True)
+    np.testing.assert_allclose(got, want_img, atol=2e-5)
+
+
+def test_store_frame_single_dispatch(scene):
+    """render_store_frame (device-side plane tables + warp, one
+    dispatch) == slope-grid path + host warp."""
+    from libre_tpu.core.frustum import look_at, perspective
+    from libre_tpu.ops.reference import Camera
+
+    vol, ds, atlas, plan, tf = scene
+    W = H = 24
+    proj = perspective(50.0, 1.0, 0.1, 15.0)
+    mv = look_at([0.1, 0.05, 1.4], [0, 0, 0], [0, 1, 0])
+    cam = Camera(
+        inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(np.float32),
+        inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
+        viewport=(0, 0, W, H),
+        near=0.1,
+    )
+    sw_plan = sw.make_plan(cam, SWP.slope_margin)
+    assert sw_plan.axis == AXIS
+    store = swb.assemble_store(atlas.data, plan)
+    content = swb.store_content(store, plan.fine_dims[0])
+
+    got = np.asarray(
+        swb.render_store_frame(
+            store, plan, tf, cam,
+            params=PARAMS, swp=SWP, world_min=GMIN, world_max=GMAX,
+            content=content, interpret=True,
+        )
+    )
+    # Reference: slope grid via the multipass driver + the jnp warp.
+    inter = swb.render_bricked_slope_grid(
+        atlas.data, plan, tf,
+        eye=sw_plan.eye, sign=sw_plan.sign, slope_bounds=sw_plan.bounds,
+        world_min=GMIN, world_max=GMAX, params=PARAMS, swp=SWP,
+        interpret=True,
+    )
+    u0, u1, v0, v1 = sw_plan.bounds
+    ug = jnp.linspace(u0, u1, SWP.inter_size[1], dtype=jnp.float32)
+    vg = jnp.linspace(v0, v1, SWP.inter_size[0], dtype=jnp.float32)
+    want = np.asarray(
+        sw.warp_to_screen(
+            inter, ug, vg, jnp.asarray(sw_plan.u), jnp.asarray(sw_plan.v),
+            jnp.asarray(sw_plan.valid),
+        )
+    )
+    assert got.shape == (H, W, 4)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert got[..., 3].max() > 0.1  # actually rendered something
+
+
+def test_store_content_skipping_exact(tmp_path):
+    """Empty-slice skipping from coverage flags is bit-exact: a store
+    with uncovered leading slices renders identically with and without
+    content flags."""
+    vol, ds = make_scene(tmp_path)
+    nodes, fine = fine_nodes(ds)
+    # Only the +Z half resident: z tiles {1}; (0,0,0) octant missing etc.
+    kept = [n for n in nodes if n.position[2] == 1]
+    atlas, slot_of = upload_nodes(ds, kept)
+    plan = swb.build_assembly_plan(ds, kept, AXIS, slot_of, (0.0, 1.0))
+    store = swb.assemble_store(atlas.data, plan)
+    content = swb.store_content(store, plan.fine_dims[0])
+    assert int(np.asarray(content).sum()) == 16  # half the slices covered
+
+    from libre_tpu.core.frustum import look_at, perspective
+    from libre_tpu.ops.reference import Camera
+
+    W = H = 16
+    proj = perspective(50.0, 1.0, 0.1, 15.0)
+    mv = look_at([0.1, 0.05, 1.4], [0, 0, 0], [0, 1, 0])
+    cam = Camera(
+        inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(np.float32),
+        inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
+        viewport=(0, 0, W, H),
+        near=0.1,
+    )
+    tf = jnp.asarray(tf_ops.default_color_map(256))
+    kw = dict(
+        params=PARAMS, swp=SWP, world_min=GMIN, world_max=GMAX,
+        interpret=True,
+    )
+    with_skip = np.asarray(
+        swb.render_store_frame(store, plan, tf, cam, content=content, **kw)
+    )
+    without = np.asarray(
+        swb.render_store_frame(store, plan, tf, cam, **kw)
+    )
+    np.testing.assert_array_equal(with_skip, without)
+
+
+def _engine_scene(tmp_path, max_gpu_cache_mb=64):
+    from libre_tpu.core.frustum import Frustum, look_at, perspective
+    from libre_tpu.ops.reference import Camera
+    from libre_tpu.render.engine import RenderEngine
+
+    vol, ds = make_scene(tmp_path)
+    engine = RenderEngine(
+        ds, max_gpu_cache_mb=max_gpu_cache_mb, filter_mode="trilinear"
+    )
+    proj = perspective(50.0, 1.0, 0.1, 15.0)
+    mv = look_at([0.2, 0.1, 1.4], [0, 0, 0], [0, 1, 0])
+    frustum = Frustum(mv, proj)
+    cam = Camera(
+        inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(np.float32),
+        inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
+        viewport=(0, 0, 48, 48),
+        near=frustum.near,
+    )
+    return vol, engine, cam, frustum
+
+
+def test_engine_bricked_vs_exact(tmp_path):
+    """engine.render_bricked (fast path over the atlas) renders close to
+    the exact per-brick marcher on the same LOD selection — the two
+    halves of the framework meeting (VERDICT r1 item 1)."""
+    vol, engine, cam, frustum = _engine_scene(tmp_path)
+    params = RenderParams(
+        n_samples_per_ray=64, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear",
+    )
+    exact, _, _ = engine.render(
+        cam, frustum, params=params, screen_space_error=1.0
+    )
+    fast, stats = engine.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=64
+    )
+    assert fast.shape == exact.shape
+    assert stats.rendering_done and stats.n_passes == 1
+    diff = np.abs(np.asarray(fast) - np.asarray(exact))
+    assert diff.mean() < 0.03, diff.mean()
+    # Steady state: second frame hits the assembled-store cache.
+    assert len(engine._store_cache) == 1
+    again, _ = engine.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=64
+    )
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(fast))
+    assert len(engine._store_cache) == 1
+
+
+def test_engine_bricked_out_of_core_paging(tmp_path):
+    """Working set larger than the store budget: per-slab atlas paging
+    renders bit-identically to the single-store path
+    (GLRaycastPipeline.cpp:148-186 multipass semantics)."""
+    vol, engine, cam, frustum = _engine_scene(tmp_path)
+    params = RenderParams(
+        n_samples_per_ray=48, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear",
+    )
+    whole, s1 = engine.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=48
+    )
+    assert s1.n_passes == 1
+    paged, s2 = engine.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=48,
+        max_store_mb=0,  # force slabbing: budget < one full store
+    )
+    assert s2.n_passes > 1
+    np.testing.assert_allclose(
+        np.asarray(paged), np.asarray(whole), atol=1e-6
+    )
+
+
+def test_engine_bricked_clip_planes(tmp_path):
+    """The fast path honors clip planes (VERDICT r1 weak item 4: clip
+    silently didn't clip)."""
+    from libre_tpu.core.clip_planes import ClipPlanes
+
+    vol, engine, cam, frustum = _engine_scene(tmp_path)
+    params = RenderParams(
+        n_samples_per_ray=48, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear",
+    )
+    base, _ = engine.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=48
+    )
+    clip = ClipPlanes(np.float32([[1.0, 0.0, 0.0, 0.0]]))  # keep x >= 0
+    clipped, _ = engine.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=48,
+        clip_planes=clip,
+    )
+    assert np.abs(np.asarray(clipped) - np.asarray(base)).max() > 1e-3
+    # And matches the exact path under the same clip.
+    exact, _, _ = engine.render(
+        cam, frustum, params=params, screen_space_error=1.0,
+        clip_planes=clip,
+    )
+    diff = np.abs(np.asarray(clipped) - np.asarray(exact))
+    assert diff.mean() < 0.03, diff.mean()
+
+
+def test_slab_plans_cover_all_planes():
+    """make_slab_plans covers every plane exactly once, both directions."""
+    for sign in (1.0, -1.0):
+        a0, a1, _, _, _, _ = swb.plane_tables(
+            na=32, k_planes=100, wa0=-0.5, wa1=0.5, eye_a=1.4, sign=sign
+        )
+        plans = swb.make_slab_plans(a0, 32, 6)
+        ks = []
+        for p in plans:
+            ks.extend(range(p.k_lo, p.k_hi))
+            width = p.a_hi_incl - p.a_lo + 1
+            assert width <= 6
+            sl = a0[p.k_lo : p.k_hi]
+            assert sl.min() >= p.a_lo
+            assert np.minimum(sl + 1, 31).max() <= p.a_hi_incl
+        assert ks == list(range(100))
