@@ -227,7 +227,7 @@ class ApplicationParameters(Parameters):
         self.camera_position = (0.0, 0.0, 1.5)
         self.camera_look_at = (0.0, 0.0, 0.0)
         self.color_map_file = ""
-        self.renderer = "xla"
+        self.renderer = "bricked"
         super().__init__("Application Parameters")
         if argv:
             self.initialize(argv)
@@ -276,7 +276,7 @@ class ApplicationParameters(Parameters):
             n_args=3,
         )
         add("colormap", "Path to a transfer-function file", "", group=g)
-        add("renderer", "Renderer to use [xla|pallas|reference]", "xla", group=g)
+        add("renderer", "Renderer to use [bricked|shearwarp|xla]", "bricked", group=g)
 
     def _apply(self) -> None:
         c = self.configuration

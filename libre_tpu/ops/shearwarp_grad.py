@@ -221,6 +221,7 @@ def _compiled_bwd(
     wc1: float,
     early_exit: float,
     kc: int,
+    diff_tf: bool,
 ):
     nb_pad = _round_up(nb_real, 128)
     nc_pad = _round_up(nc_real, 128)
@@ -347,10 +348,13 @@ def _compiled_bwd(
                 ],
                 axis=-1,
             )  # (Kc, Vp, Up, 4)
-            # TF gradient (one-hot MXU scatter).
-            dtf = dtf + _tf_scatter(
-                fwd["i0"], fwd["i1"], fwd["wt"], drgba
-            )
+            # TF gradient (one-hot MXU scatter); skipped when the TF is
+            # frozen (volume-only optimization) — the dominant backward
+            # cost at large K·V·U.
+            if diff_tf:
+                dtf = dtf + _tf_scatter(
+                    fwd["i0"], fwd["i1"], fwd["wt"], drgba
+                )
             # density gradient through the two-tap lookup
             tf_d = jnp.take(tf, fwd["i1"], axis=0) - jnp.take(
                 tf, fwd["i0"], axis=0
@@ -475,6 +479,7 @@ def _bwd(static, res, g):
         wc1=static["wc1"],
         early_exit=static["early_exit"],
         kc=static["kc"],
+        diff_tf=static["diff_tf"],
     )
     d_store, dtf = bwd(store, tf, vs, inter, t_final, g)
     return d_store, dtf, None
@@ -498,6 +503,7 @@ def static_view(
     early_exit: float,
     kc: int = 32,
     interpret: bool = False,
+    diff_tf: bool = True,
 ) -> _StaticView:
     from libre_tpu.ops import shearwarp as sw
 
@@ -519,6 +525,7 @@ def static_view(
         early_exit=float(early_exit),
         kc=int(kc),
         interpret=bool(interpret),
+        diff_tf=bool(diff_tf),
     )
 
 

@@ -71,3 +71,23 @@ class ShearWarpRenderer(RendererPlugin):
         allowed = {"level", "time_step", "n_planes", "backend"}
         kw = {k: v for k, v in kwargs.items() if k in allowed}
         return engine.render_shearwarp(camera, params=params, **kw)
+
+
+@register_renderer("bricked")
+class BrickedRenderer(RendererPlugin):
+    """Fused post-classification fast path over the mixed-LOD rendering
+    set streamed through the HBM brick atlas (the cudaRaycaster
+    equivalent, cuda/Renderer.cu:95-230 + TexturePool.cu:101-214) —
+    out-of-core via A-slab multipass, single dispatch steady-state."""
+
+    def render(self, engine, camera, frustum, *, params=None, **kwargs):
+        allowed = {
+            "screen_space_error", "min_lod", "max_lod", "clip_planes",
+            "time_step", "synchronous", "data_range", "n_planes",
+            "max_store_mb",
+        }
+        kw = {k: v for k, v in kwargs.items() if k in allowed}
+        img, _stats = engine.render_bricked(
+            camera, frustum, params=params, **kw
+        )
+        return img

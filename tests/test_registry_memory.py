@@ -20,6 +20,7 @@ from libre_tpu.render.registry import (
 def test_registry_dispatch():
     assert "xla" in available_renderers()
     assert "shearwarp" in available_renderers()
+    assert "bricked" in available_renderers()
     r = create_renderer("xla")
     assert r.name == "xla"
     with pytest.raises(ValueError, match="no renderer plugin"):
