@@ -101,7 +101,61 @@ class RenderService:
         }
 
     # ----------------------------------------------------------- render
-    def render_frame(self) -> np.ndarray:
+    def _render_once(self, camera, frustum, kw, renderer):
+        """One engine dispatch; returns (image, stats, histogram)."""
+        if renderer == "bricked":
+            # Interactive default: the fused fast path (VERDICT r1 weak
+            # item 2 — the service was the one place still rendering
+            # through the exact marcher).  Histogram comes from the
+            # same rendering set.
+            img, stats = self.engine.render_bricked(camera, frustum, **kw)
+            visibles = self.engine.select(
+                frustum,
+                self.height,
+                kw["screen_space_error"],
+                kw["min_lod"],
+                kw["max_lod"],
+                (0.0, 1.0),
+                kw["clip_planes"],
+                kw["time_step"],
+            )
+            hist = self.engine.accumulate_histogram(visibles)
+        else:
+            img, stats, hist = self.engine.render(
+                camera, frustum, collect_histogram=True, **kw
+            )
+        return img, stats, hist
+
+    def _schedule_redraw(self, futures) -> None:
+        """Arm the redraw: when the async uploads land, mark the frame
+        dirty so the run loop re-renders with the new bricks — the
+        RedrawFilter → REDRAW event of the reference
+        (GLRaycastPipeline.cpp:241-308, Channel.cpp:64-90)."""
+        if not futures:
+            self._dirty.set()
+            return
+        remaining = [len(futures)]
+        lock = threading.Lock()
+
+        def landed(_future):
+            with lock:
+                remaining[0] -= 1
+                if remaining[0] == 0:
+                    self._dirty.set()
+
+        for f in futures:
+            f.add_done_callback(landed)
+
+    def render_frame(self, progressive: bool = False) -> np.ndarray:
+        """Render the current FrameData state.
+
+        Default (grab/snapshot semantics, Config::renderJPEG,
+        Config.cpp:222-247): in asynchronous mode, iterate
+        render → wait-for-uploads until rendering_done — the converged
+        image a single reference frame+redraw cycle would eventually
+        show.  ``progressive=True`` (the interactive run loop) renders
+        whatever is resident NOW and schedules a redraw when the kicked
+        uploads land (progressive refinement, renderAsync semantics)."""
         import jax.numpy as jnp
 
         from libre_tpu.core.frustum import Frustum
@@ -136,27 +190,23 @@ class RenderService:
             synchronous=bool(p.get("synchronous", True)),
         )
         renderer = p.get("renderer", self.renderer)
-        if renderer == "bricked":
-            # Interactive default: the fused fast path (VERDICT r1 weak
-            # item 2 — the service was the one place still rendering
-            # through the exact marcher).  Histogram comes from the
-            # same rendering set.
-            img, stats = self.engine.render_bricked(camera, frustum, **kw)
-            visibles = self.engine.select(
-                frustum,
-                self.height,
-                kw["screen_space_error"],
-                kw["min_lod"],
-                kw["max_lod"],
-                (0.0, 1.0),
-                kw["clip_planes"],
-                kw["time_step"],
-            )
-            hist = self.engine.accumulate_histogram(visibles)
-        else:
-            img, stats, hist = self.engine.render(
-                camera, frustum, collect_histogram=True, **kw
-            )
+        img, stats, hist = self._render_once(camera, frustum, kw, renderer)
+        if not stats.rendering_done:
+            if progressive:
+                self._schedule_redraw(stats.pending_uploads)
+            else:
+                # Converge in-place: each round blocks on the uploads
+                # the previous render kicked, then re-renders; bounded
+                # by the tree depth (each round promotes at least one
+                # LOD level into residency).
+                for _ in range(32):
+                    for f in stats.pending_uploads:
+                        f.result()
+                    img, stats, hist = self._render_once(
+                        camera, frustum, kw, renderer
+                    )
+                    if stats.rendering_done:
+                        break
         if hist is not None:
             self._histogram = {
                 "bins": np.asarray(hist.bins).tolist(),
@@ -181,7 +231,7 @@ class RenderService:
                 continue
             self._dirty.clear()
             t0 = time.perf_counter()
-            self.render_frame()
+            self.render_frame(progressive=True)
             rendered += 1
             self._frames_rendered = rendered
             print(

@@ -46,13 +46,22 @@ from libre_tpu.ops.transfer_function import default_color_map
 
 @dataclasses.dataclass
 class RenderStatistics:
-    """Availability counters (FrameInfo.h RenderStatistics)."""
+    """Availability counters (FrameInfo.h RenderStatistics).
+
+    ``pending_uploads`` carries the async-mode upload futures of the
+    frame so the caller can wire the reference's redraw loop
+    (RenderingDone=false → RedrawFilter → REDRAW event,
+    GLRaycastPipeline.cpp:241-308, Channel.cpp:64-90): re-render when
+    they land."""
 
     n_available: int = 0
     n_not_available: int = 0
     n_render_available: int = 0
     n_passes: int = 0
     rendering_done: bool = True
+    pending_uploads: List = dataclasses.field(
+        default_factory=list, repr=False
+    )
 
 
 def compute_rendering_set(
@@ -280,7 +289,9 @@ class RenderEngine:
             stats.rendering_done = done
             missing = [n for n in visibles if not self.is_resident(n)]
             for node in missing:
-                self._upload_pool.submit(self._upload_node, node)
+                stats.pending_uploads.append(
+                    self._upload_pool.submit(self._upload_node, node)
+                )
         stats.n_available = len(render_nodes)
         stats.n_not_available = len(visibles) - len(render_nodes)
 
@@ -562,7 +573,9 @@ class RenderEngine:
             stats.rendering_done = done
             for node in visibles:
                 if not self.is_resident(node):
-                    self._upload_pool.submit(self._upload_node, node)
+                    stats.pending_uploads.append(
+                        self._upload_pool.submit(self._upload_node, node)
+                    )
         stats.n_available = len(render_nodes)
         stats.n_not_available = len(visibles) - len(render_nodes)
         stats.n_render_available = len(render_nodes)
