@@ -13,6 +13,10 @@ from libre_tpu.parallel.render import (
     render_rays_sharded,
     shard_bricks_front_to_back,
 )
+from libre_tpu.parallel.bricked_sharded import (
+    build_sharded_slabs,
+    render_store_grid_sharded,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +24,6 @@ __all__ = [
     "fold_over",
     "render_rays_sharded",
     "shard_bricks_front_to_back",
+    "build_sharded_slabs",
+    "render_store_grid_sharded",
 ]

@@ -11,12 +11,18 @@ from libre_tpu.train.trainer import (
     TrainState,
     make_train_step,
 )
+from libre_tpu.train.store_trainer import (
+    StoreProblem,
+    make_train_step as make_store_train_step,
+)
 from libre_tpu.train.checkpoint import save_checkpoint, restore_checkpoint
 
 __all__ = [
     "InverseRenderProblem",
     "TrainState",
     "make_train_step",
+    "StoreProblem",
+    "make_store_train_step",
     "save_checkpoint",
     "restore_checkpoint",
 ]
