@@ -9,6 +9,10 @@ framework keeps the out-of-band steering side channel as plain JSON/HTTP
 (SURVEY.md §5.8); the GUI equivalent is any HTTP client.
 
 Endpoints (JSON unless noted):
+    GET  /                -> the web steering UI (webui.html; the
+                             livreGUI equivalent: TF curve editor w/
+                             histogram, camera orbit, params, clipping)
+    GET  /colormap        -> {"rgba": [[r,g,b,a] x 256]}
     GET  /camera          -> {"modelview": [[...]]}
     PUT  /camera          <- {"modelview": ...} or {"position": ..,
                              "lookat": ..}
@@ -83,7 +87,33 @@ class SteeringServer:
 
             def do_GET(self):
                 fd = outer.frame_data
-                if self.path == "/camera":
+                if self.path in ("/", "/ui", "/index.html"):
+                    # The web steering surface (livreGUI equivalent,
+                    # apps/livreGUI/transferFunctionEditor/
+                    # TransferFunctionEditor.cpp:95-188 + pointer
+                    # handler + parameter controllers as one page).
+                    import os
+
+                    path = os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "webui.html",
+                    )
+                    with open(path, "rb") as f:
+                        body = f.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/colormap":
+                    self._json(
+                        {
+                            "rgba": np.asarray(
+                                fd.render_settings.color_map, np.float32
+                            ).tolist()
+                        }
+                    )
+                elif self.path == "/camera":
                     self._json(
                         {
                             "modelview": np.asarray(

@@ -66,6 +66,26 @@ def test_steering_server_roundtrip():
         server.stop()
 
 
+def test_steering_web_ui_served():
+    """GET / serves the livreGUI-equivalent web page; GET /colormap
+    exposes the current transfer function for the editor to load."""
+    fd = FrameData()
+    server = SteeringServer(fd).start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        page = _req(f"{base}/")
+        assert b"libre_tpu" in page and b"tfcanvas" in page
+        cm = _req(f"{base}/colormap")
+        arr = np.asarray(cm["rgba"], np.float32)
+        assert arr.shape == (256, 4)
+        np.testing.assert_allclose(
+            arr, np.asarray(fd.render_settings.color_map), atol=1e-6
+        )
+    finally:
+        server.stop()
+
+
 def test_keyboard_handler():
     fd = FrameData()
     resets = []
