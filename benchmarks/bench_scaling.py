@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--vox", type=int, default=64)
     ap.add_argument("--cpu-mesh", action="store_true",
                     help="force a virtual CPU mesh (validation, not perf)")
+    ap.add_argument("--path", default="dense", choices=["dense", "bricked"],
+                    help="dense = pre-classified fused kernel; bricked = "
+                    "the post-classification store sweep "
+                    "(parallel/bricked_sharded.py)")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -93,6 +97,32 @@ def main():
     perm = sw._PERM[plan.axis]
     nc_real, nb_real = vol.shape[perm[1]], vol.shape[perm[2]]
 
+    if args.path == "bricked":
+        # The post-classification store sweep sharded sort-first rows ×
+        # sort-last plane slabs (the round-2+ fast path).
+        from libre_tpu.ops import shearwarp_bricked as swb
+        from libre_tpu.ops import shearwarp_grad as swg
+        from libre_tpu.ops.shearwarp_pallas import _round_up
+        from libre_tpu.parallel.bricked_sharded import (
+            render_store_grid_sharded,
+        )
+
+        axis = plan.axis
+        real = np.transpose(np.asarray(vol), sw._PERM[axis])
+        na, nc_r, nb_r = real.shape
+        store_np = np.full(
+            (na, _round_up(nc_r, 128), _round_up(nb_r, 128)),
+            swb.SENTINEL, np.float32,
+        )
+        store_np[:, :nc_r, :nb_r] = real
+        store = jnp.asarray(store_np)
+        b_axis, c_axis = sw._BC_AXES[axis]
+        fv_j = jnp.asarray(swg.view_vector(
+            world_min=gmin, world_max=gmax, axis=axis, eye=plan.eye,
+            sign=plan.sign, slope_bounds=plan.bounds,
+            inter_size=(img, img), max_samples_per_ray=spr,
+        ))
+
     def timed_marginal(render_one, x):
         def chain(m):
             def f(a):
@@ -120,7 +150,16 @@ def main():
         swp = sw.ShearWarpParams(n_planes=spr, inter_size=(img, img))
         pa = swp_mod.slope_grid_plan_args(plan, gmin, gmax, params, swp)
 
-        if n == 1 and use_pallas:
+        if args.path == "bricked":
+            render_one = lambda st, mesh=mesh: render_store_grid_sharded(
+                mesh, st, tf, fv_j,
+                na_real=na, nc_real=nc_r, nb_real=nb_r,
+                k_planes=spr, inter_size=(img, img),
+                wb0=float(gmin[b_axis]), wb1=float(gmax[b_axis]),
+                wc0=float(gmin[c_axis]), wc1=float(gmax[c_axis]),
+                early_exit=0.999, interpret=not use_pallas,
+            )
+        elif n == 1 and use_pallas:
             render_one = lambda c: swp_mod.render_classified_slope_grid(
                 c, nc_real, nb_real, pa
             )
@@ -138,7 +177,9 @@ def main():
                 plan.sign, plan.bounds, gmin, gmax, params, swp,
             )
 
-        dt = timed_marginal(render_one, chans)
+        dt = timed_marginal(
+            render_one, store if args.path == "bricked" else chans
+        )
         mrays = img * img / dt / 1e6
         if base is None:
             base = mrays
