@@ -100,6 +100,14 @@ def _make_post_kernel(
     sb_scale = nb_real / (wb1 - wb0)
     sc_scale = nc_real / (wc1 - wc0)
     n_ublocks = u_pad // 128
+    # HIGHEST only applies to f32 operands (it selects the 3-pass bf16
+    # decomposition); on explicit bf16 operands Mosaic rejects an fp32
+    # contract precision — bf16 is already the one-pass fast mode.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(compute_dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
 
     def kernel(
         idx_ref,  # (K,) i32 scalar prefetch: slice index a0 within slab
@@ -117,6 +125,13 @@ def _make_post_kernel(
         clip_ref,  # (8, 128) f32: rows 0..n_clip-1 = [n_a, n_b, n_c, d]
         rgb_in_ref,  # (4, v_pad, u_pad) carry-in (ch 3 ignored)
         t_in_ref,  # (v_pad, u_pad) carry-in transmittance
+        hit_ref,  # (v_pad, u_pad) f32: 1 = ray may intersect the volume.
+        #           Rays that never hit (slope-grid corners, padding)
+        #           keep t = 1 forever; excluding them lets the
+        #           whole-plane early-exit flag actually fire on
+        #           saturated scenes (fragRaycast.glsl:115-117 at plane
+        #           scale).  hit = 0 rays sample nothing, so skipping
+        #           planes under the flag stays exact.
         out_ref,  # (4, v_pad, u_pad) accumulated rgb + alpha
         t_out_ref,  # (v_pad, u_pad) carry-out transmittance
         done_ref,  # SMEM (1,) i32 all-rays-saturated flag
@@ -132,7 +147,7 @@ def _make_post_kernel(
             out_ref[3] = 1.0 - t0
             t_out_ref[:] = t0
             done_ref[0] = jnp.where(
-                jnp.max(t0) < 1.0 - early_exit, 1, 0
+                jnp.max(t0 * hit_ref[:]) < 1.0 - early_exit, 1, 0
             ).astype(jnp.int32)
 
         @pl.when((done_ref[0] == 0) & (act_ref[k] == 1))
@@ -163,7 +178,7 @@ def _make_post_kernel(
                 mb.astype(compute_dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )  # (Ncp, Up)
 
             # Resample voxel-c → slope-v (MXU).
@@ -189,7 +204,7 @@ def _make_post_kernel(
                 s1.astype(compute_dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )  # (Vp, Up) interpolated normalized density
 
             # Sample masks: inside the volume box, covered by a resident
@@ -257,10 +272,14 @@ def _make_post_kernel(
                 t_out_ref[:, sl] = t_eff
 
             # Early ray termination at plane granularity, tested every
-            # 8th plane (fragRaycast.glsl:115-117 at plane scale).
+            # 8th plane (fragRaycast.glsl:115-117 at plane scale);
+            # never-hitting rays are excluded from the all-saturated
+            # test (they keep t = 1 but sample nothing).
             @pl.when(k % 8 == 7)
             def _():
-                @pl.when(jnp.max(t_out_ref[:]) < 1.0 - early_exit)
+                @pl.when(
+                    jnp.max(t_out_ref[:] * hit_ref[:]) < 1.0 - early_exit
+                )
                 def _():
                     done_ref[0] = 1
 
@@ -269,7 +288,7 @@ def _make_post_kernel(
 
 def _post_call(
     kernel, store, a0, a1, wa, dl, act, view8, tfmat, corr, clip, rgb_in,
-    t_in, *, k_planes, na, nc_pad, nb_pad, v_pad, u_pad, interpret,
+    t_in, hit, *, k_planes, na, nc_pad, nb_pad, v_pad, u_pad, interpret,
 ):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -296,6 +315,9 @@ def _post_call(
             pl.BlockSpec(
                 (4, v_pad, u_pad),
                 lambda k, idx, idx1, _w, _d, _a, _v: (0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (v_pad, u_pad), lambda k, idx, idx1, _w, _d, _a, _v: (0, 0)
             ),
             pl.BlockSpec(
                 (v_pad, u_pad), lambda k, idx, idx1, _w, _d, _a, _v: (0, 0)
@@ -328,7 +350,7 @@ def _post_call(
         interpret=interpret,
     )(
         a0, a1, wa, dl, act, view8, store, store, tfmat, corr, clip,
-        rgb_in, t_in,
+        rgb_in, t_in, hit,
     )
 
 
@@ -379,10 +401,10 @@ def _compiled_post_renderer(
 
     @jax.jit
     def run(store, a0, a1, wa, dl, act, view8, tfmat, corr, clip, rgb_in,
-            t_in):
+            t_in, hit):
         return _post_call(
             kernel, store, a0, a1, wa, dl, act, view8, tfmat, corr, clip,
-            rgb_in, t_in,
+            rgb_in, t_in, hit,
             k_planes=k_planes,
             na=na,
             nc_pad=nc_pad,
@@ -393,6 +415,24 @@ def _compiled_post_renderer(
         )
 
     return run
+
+
+def hit_mask(ug, vg, *, wa0, wa1, eye_a, eb, ec, wb0, wb1, wc0, wc1):
+    """(V, U) f32: 1 unless the (u, v) slope ray provably never enters
+    the volume's b/c extents anywhere on the a-range (a NECESSARY
+    per-axis intersection condition — xb/xc are monotone in the plane
+    coordinate, so interval overlap at the endpoints bounds them).
+    Conservative the safe way: 0 ⇒ a true miss (the ray samples
+    nothing), so excluding it from the whole-plane early-exit test is
+    exact; 1 may still miss (just less skipping).  Works in numpy or
+    jnp."""
+    xp = jnp if isinstance(ug, jnp.ndarray) or isinstance(wa0, jnp.ndarray) else np
+    d0, d1 = wa0 - eye_a, wa1 - eye_a
+    xb0, xb1 = eb + ug * d0, eb + ug * d1
+    hu = (xp.minimum(xb0, xb1) <= wb1) & (xp.maximum(xb0, xb1) >= wb0)
+    xc0, xc1 = ec + vg * d0, ec + vg * d1
+    hv = (xp.minimum(xc0, xc1) <= wc1) & (xp.maximum(xc0, xc1) >= wc0)
+    return (hv[:, None] & hu[None, :]).astype(xp.float32)
 
 
 def tf_tables(tf: jnp.ndarray, v_pad: int) -> jnp.ndarray:
@@ -921,9 +961,13 @@ def _compiled_store_frame(
         tfmat = tf_tables(tf, v_pad)
         rgb_in = jnp.zeros((4, v_pad, u_pad), jnp.float32)
         t_in = jnp.ones((v_pad, u_pad), jnp.float32)
+        hit = hit_mask(
+            ug, vg, wa0=wa0, wa1=wa1, eye_a=eye_a, eb=eb, ec=ec,
+            wb0=wb0, wb1=wb1, wc0=wc0, wc1=wc1,
+        )
         out, t_fin = _post_call(
             kernel, store, a0, a1, wa, dl, act, view8, tfmat, corr, clip,
-            rgb_in, t_in,
+            rgb_in, t_in, hit,
             k_planes=k_planes,
             na=na_store,
             nc_pad=nc_pad,
@@ -1063,6 +1107,7 @@ class SlabSweep:
     tfmat: jnp.ndarray
     corr: jnp.ndarray
     clip_j: jnp.ndarray
+    hit: jnp.ndarray
 
     def initial_carry(self):
         v_pad = _round_up(self.v_size, 8)
@@ -1117,6 +1162,7 @@ class SlabSweep:
             self.clip_j,
             rgb,
             t,
+            self.hit,
         )
 
     def finish(self, carry) -> jnp.ndarray:
@@ -1167,6 +1213,13 @@ def make_slab_sweep(
     corr = jnp.asarray(
         (params.max_samples_per_ray * dz * length).astype(np.float32)
     )
+    hit = jnp.asarray(hit_mask(
+        ug, vg, wa0=float(wmin[axis]), wa1=float(wmax[axis]),
+        eye_a=float(eye[axis]), eb=float(eye[b_axis]),
+        ec=float(eye[c_axis]), wb0=float(wmin[b_axis]),
+        wb1=float(wmax[b_axis]), wc0=float(wmin[c_axis]),
+        wc1=float(wmax[c_axis]),
+    ))
     clip_m, n_clip = clip_matrix(clip_planes_world, axis)
     return SlabSweep(
         nc=nc,
@@ -1194,6 +1247,7 @@ def make_slab_sweep(
         tfmat=tf_tables(jnp.asarray(tf, jnp.float32), v_pad),
         corr=corr,
         clip_j=jnp.asarray(clip_m),
+        hit=hit,
     )
 
 

@@ -44,13 +44,15 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from libre_tpu.ops.reference import ALPHA_CLAMP
 from libre_tpu.ops.shearwarp_bricked import (
     TF_SIZE,
     _compiled_store_frame,
 )
-from libre_tpu.ops.shearwarp_pallas import _round_up
+from libre_tpu.ops.shearwarp_pallas import _interp_matrix, _round_up
 
 HP = jax.lax.Precision.HIGHEST
 
@@ -170,39 +172,46 @@ def _alpha_chain(a_corr, t_in, early_exit):
     return t_out, a_eff, w, t_at
 
 
-def _tf_scatter(i0, i1, wt, drgba, chunk=32768):
-    """dtf via chunked one-hot MXU matmuls (classify_planes' trick,
-    transposed): dtf = Σ Eᵀ·drgba with E the 2-tap row weights."""
+def _tf_scatter(i0, i1, wt, drgba, chunk=1 << 19):
+    """dtf via a rank-16 ⊗ rank-16 decomposition of the one-hot scatter.
+
+    Write the TF index as idx = 16·hi + lo; then
+    ``dtf[16·hi+lo, c] = Σ_s Ehi[s, hi] · F[s, 4·lo + c]`` with
+    ``F = Elo ⊗ (w·g)`` — ONE (S, 16)ᵀ·(S, 64) MXU matmul per chunk.
+    The materialized one-hot traffic drops from S×256 floats (the naive
+    E·g form, which is HBM-bound at ~34 GB for a 256²×512 frame) to
+    S×(16+64) — the dominant backward cost when the TF is optimized.
+    Both interpolation taps ride the same stream (2S samples)."""
     flat_n = int(np.prod(i0.shape))
-    pad_n = _round_up(flat_n, chunk)
-    i0f = jnp.pad(i0.reshape(-1), (0, pad_n - flat_n))
-    i1f = jnp.pad(i1.reshape(-1), (0, pad_n - flat_n))
-    wtf = jnp.pad(wt.reshape(-1), (0, pad_n - flat_n))
-    gf = jnp.pad(
-        drgba.reshape(-1, 4), ((0, pad_n - flat_n), (0, 0))
-    )
-    cols = jnp.arange(TF_SIZE, dtype=jnp.int32)
+    idx = jnp.concatenate([i0.reshape(-1), i1.reshape(-1)])
+    w = jnp.concatenate([(1.0 - wt).reshape(-1), wt.reshape(-1)])
+    g4 = drgba.reshape(-1, 4)
+    g = jnp.concatenate([g4, g4])
+    n = 2 * flat_n
+    pad_n = _round_up(n, chunk)
+    idx = jnp.pad(idx, (0, pad_n - n))
+    w = jnp.pad(w, (0, pad_n - n))  # pad weight 0 ⇒ no contribution
+    g = jnp.pad(g, ((0, pad_n - n), (0, 0)))
+    cols16 = jnp.arange(16, dtype=jnp.int32)
 
     def body(args):
-        i0c, i1c, wc, gc = args
-        e = (cols[None, :] == i0c[:, None]) * (1.0 - wc)[:, None] + (
-            cols[None, :] == i1c[:, None]
-        ) * wc[:, None]
+        ic, wc, gc = args
+        ehi = (cols16[None, :] == (ic >> 4)[:, None]).astype(jnp.float32)
+        elo = (cols16[None, :] == (ic & 15)[:, None]).astype(jnp.float32)
+        f = ((elo * wc[:, None])[:, :, None] * gc[:, None, :]).reshape(
+            -1, 64
+        )
         return jax.lax.dot_general(
-            e, gc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=HP,
-        )  # (T, 4)
+            ehi, f, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HP,
+        )  # (16, 64) = dtf[16·hi+lo, c] tiles
 
     parts = jax.lax.map(
         body,
-        (
-            i0f.reshape(-1, chunk),
-            i1f.reshape(-1, chunk),
-            wtf.reshape(-1, chunk),
-            gf.reshape(-1, chunk, 4),
-        ),
+        (idx.reshape(-1, chunk), w.reshape(-1, chunk),
+         g.reshape(-1, chunk, 4)),
     )
-    return parts.sum(axis=0)
+    return parts.sum(axis=0).reshape(TF_SIZE, 4)
 
 
 @functools.lru_cache(maxsize=64)
@@ -402,6 +411,395 @@ def _compiled_bwd(
     return bwd
 
 
+# ===================================================== Pallas backward
+def _make_bwd_kernel(
+    *,
+    na: int,
+    nb_real: int,
+    nc_real: int,
+    nb_pad: int,
+    nc_pad: int,
+    v_pad: int,
+    u_pad: int,
+    wb0: float,
+    wb1: float,
+    wc0: float,
+    wc1: float,
+    early_exit: float,
+):
+    """Fused backward plane sweep (one kernel, front-to-back).
+
+    The jnp recompute backward (_compiled_bwd) is bound by its 256-entry
+    TF-table gathers (XLA scalar gathers; measured ~350 ms at
+    256³/256²×512 on v5e, unchanged with the TF scatter disabled).  This
+    kernel recomputes each plane exactly like the forward
+    (shearwarp_bricked._make_post_kernel: axis lerp + two interp
+    matmuls + lane-gather TF lookup), carries (t, P) in VMEM, inverts
+    the front-to-back composite with the total-minus-prefix identity
+    (TOT = ⟨g, out_rgb⟩ = P_K, so ONE sweep suffices), transposes the
+    two resample matmuls in-kernel, and accumulates the density
+    gradient straight into (a0, a1)-indexed output slices — the plane
+    order makes their block indices monotone, so Pallas keeps each
+    slice resident in VMEM until the sweep moves past it.
+
+    Per-plane side outputs ``w`` (composite weight) and ``dα`` feed the
+    TF-gradient scatter OUTSIDE the kernel (pure MXU one-hot matmuls —
+    no table gathers are needed there)."""
+    sb_scale = nb_real / (wb1 - wb0)
+    sc_scale = nc_real / (wc1 - wc0)
+    n_ublocks = u_pad // 128
+    prec = jax.lax.Precision.HIGHEST
+
+    def kernel(
+        idx_ref,  # (K,) i32 slice a0
+        idx1_ref,  # (K,) i32 slice a1 (globally clamped)
+        wa_ref,  # (K,) f32 axis lerp weight
+        dl_ref,  # (K,) f32 z - eye_a
+        vw_ref,  # (8,) f32 [u0, du, dv, eb, ec, vg0, eye_a, 0]
+        lo_ref,  # (1, Ncp, Nbp) store slice a0
+        hi_ref,  # (1, Ncp, Nbp) store slice a1
+        tf_ref,  # (8, v_pad, 128) TF table halves
+        corr_ref,  # (v_pad, u_pad) opacity exponent
+        g4_ref,  # (4, v_pad, u_pad) cotangents [gr, gr, gr, ga]
+        tot_ref,  # (v_pad, u_pad) TOT = ⟨gr, out_rgb⟩ per ray
+        tfin_ref,  # (v_pad, u_pad) forward final transmittance
+        d0_ref,  # (1, Ncp, Nbp) out: d_store a0-tap (block = idx[k])
+        d1_ref,  # (1, Ncp, Nbp) out: d_store a1-tap (block = idx1[k])
+        w_out_ref,  # (1, v_pad, u_pad) out: per-plane composite weight
+        dav_out_ref,  # (1, v_pad, u_pad) out: per-plane dα (masked)
+        t_ref,  # VMEM scratch: transmittance carry
+        p_ref,  # VMEM scratch: inclusive prefix P carry
+        dd_ref,  # VMEM scratch: this plane's ddens
+    ):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            t_ref[:] = jnp.ones_like(t_ref)
+            p_ref[:] = jnp.zeros_like(p_ref)
+
+        wa = wa_ref[k]
+        delta = dl_ref[k]
+        u0, du, dv = vw_ref[0], vw_ref[1], vw_ref[2]
+        eb, ec, vg0 = vw_ref[3], vw_ref[4], vw_ref[5]
+
+        # --- forward recompute (identical math to the forward kernel) ---
+        vs = lo_ref[0] * (1.0 - wa) + hi_ref[0] * wa
+        colf = jax.lax.broadcasted_iota(jnp.int32, (1, u_pad), 1).astype(
+            jnp.float32
+        )
+        xb = eb + (u0 + du * colf) * delta
+        inside_u = ((xb >= wb0) & (xb < wb1)).astype(jnp.float32)
+        mb = _interp_matrix(
+            {"s": (xb - wb0) * sb_scale - 0.5, "inside": inside_u},
+            nb_real, nb_pad, 0, (nb_pad, u_pad),
+        )
+        s1 = jax.lax.dot_general(
+            vs, mb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        rowf = jax.lax.broadcasted_iota(jnp.int32, (v_pad, 1), 0).astype(
+            jnp.float32
+        )
+        xc = ec + (vg0 + dv * rowf) * delta
+        inside_v = ((xc >= wc0) & (xc < wc1)).astype(jnp.float32)
+        mct = _interp_matrix(
+            {"s": (xc - wc0) * sc_scale - 0.5, "inside": inside_v},
+            nc_real, nc_pad, 1, (v_pad, nc_pad),
+        )
+        dens = jax.lax.dot_general(
+            mct, s1, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+        mask = inside_v * inside_u * (dens > -0.5).astype(jnp.float32)
+        s = jnp.clip(dens, 0.0, 1.0) * TF_SIZE - 0.5
+        s = jnp.clip(s, 0.0, float(TF_SIZE - 1))
+        i0f = jnp.floor(s)
+        w_tap = s - i0f
+        i0 = i0f.astype(jnp.int32)
+        ds_dd = (
+            TF_SIZE
+            * ((dens > 0.0) & (dens < 1.0)).astype(jnp.float32)
+            * ((s > 0.0) & (s < float(TF_SIZE - 1))).astype(jnp.float32)
+        )
+
+        for ub in range(n_ublocks):
+            sl = slice(ub * 128, (ub + 1) * 128)
+            ib0 = i0[:, sl]
+            ib1 = jnp.minimum(ib0 + 1, TF_SIZE - 1)
+            wt = w_tap[:, sl]
+
+            def lookup(ch, idx):
+                hi_bit = idx >= 128
+                lo7 = jnp.where(hi_bit, idx - 128, idx)
+                g0 = jnp.take_along_axis(tf_ref[2 * ch, :, :], lo7, axis=1)
+                g1 = jnp.take_along_axis(
+                    tf_ref[2 * ch + 1, :, :], lo7, axis=1
+                )
+                return jnp.where(hi_bit, g1, g0)
+
+            v0 = [lookup(ch, ib0) for ch in range(4)]
+            v1 = [lookup(ch, ib1) for ch in range(4)]
+            rgba = [v0[ch] * (1.0 - wt) + v1[ch] * wt for ch in range(4)]
+            tfd = [v1[ch] - v0[ch] for ch in range(4)]
+
+            mk = mask[:, sl]
+            a_v = rgba[3] * mk
+            a_cl = jnp.minimum(a_v, ALPHA_CLAMP)
+            corr_b = corr_ref[:, sl]
+            q = jnp.power(jnp.maximum(1.0 - a_cl, 1e-12), corr_b - 1.0)
+            a_corr = 1.0 - q * (1.0 - a_cl)
+            t_b = t_ref[:, sl]
+            m = ((1.0 - t_b) <= early_exit).astype(jnp.float32)
+            a_eff = a_corr * m
+            w = a_eff * t_b
+            d_k = (
+                rgba[0] * g4_ref[0, :, sl]
+                + rgba[1] * g4_ref[1, :, sl]
+                + rgba[2] * g4_ref[2, :, sl]
+            )
+            p_new = p_ref[:, sl] + w * d_k  # inclusive prefix
+            p_ref[:, sl] = p_new
+            one_m = jnp.maximum(1.0 - a_eff, 1e-12)
+            da_eff = (
+                t_b * d_k
+                - (tot_ref[:, sl] - p_new) / one_m
+                + g4_ref[3, :, sl] * tfin_ref[:, sl] / one_m
+            )
+            da_corr = da_eff * m
+            da_cl = da_corr * corr_b * q
+            da_v = da_cl * (a_v < ALPHA_CLAMP).astype(jnp.float32)
+            dav = da_v * mk
+            dd_ref[:, sl] = (
+                w * g4_ref[0, :, sl] * tfd[0]
+                + w * g4_ref[1, :, sl] * tfd[1]
+                + w * g4_ref[2, :, sl] * tfd[2]
+                + dav * tfd[3]
+            ) * ds_dd[:, sl]
+            t_ref[:, sl] = t_b * (1.0 - a_eff)
+            w_out_ref[0, :, sl] = w
+            dav_out_ref[0, :, sl] = dav
+
+        # --- transpose the two resample matmuls onto the MXU ---
+        dds1 = jax.lax.dot_general(
+            mct, dd_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (Ncp, Up)
+        dvs = jax.lax.dot_general(
+            dds1, mb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (Ncp, Nbp)
+
+        # Accumulate into the (a0, a1) store-slice outputs.  Plane order
+        # makes both block indices monotone, so each slice stays in VMEM
+        # until the sweep moves past it; zero it on first visit.
+        km1 = jnp.maximum(k - 1, 0)
+
+        @pl.when((k == 0) | (idx_ref[k] != idx_ref[km1]))
+        def _():
+            d0_ref[0] = jnp.zeros_like(d0_ref[0])
+
+        d0_ref[0] += (1.0 - wa) * dvs
+
+        @pl.when((k == 0) | (idx1_ref[k] != idx1_ref[km1]))
+        def _():
+            d1_ref[0] = jnp.zeros_like(d1_ref[0])
+
+        d1_ref[0] += wa * dvs
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_bwd_pallas(
+    *,
+    na_store: int,
+    na_real: int,
+    nc_real: int,
+    nb_real: int,
+    k_planes: int,
+    v_size: int,
+    u_size: int,
+    wb0: float,
+    wb1: float,
+    wc0: float,
+    wc1: float,
+    early_exit: float,
+    kc: int,
+    diff_tf: bool,
+    interpret: bool,
+):
+    nb_pad = _round_up(nb_real, 128)
+    nc_pad = _round_up(nc_real, 128)
+    v_pad = _round_up(v_size, 8)
+    u_pad = _round_up(u_size, 128)
+    bounds = (wb0, wb1, wc0, wc1)
+    kernel = _make_bwd_kernel(
+        na=na_store, nb_real=nb_real, nc_real=nc_real,
+        nb_pad=nb_pad, nc_pad=nc_pad, v_pad=v_pad, u_pad=u_pad,
+        wb0=wb0, wb1=wb1, wc0=wc0, wc1=wc1, early_exit=early_exit,
+    )
+    from libre_tpu.ops.shearwarp_bricked import tf_tables
+
+    @jax.jit
+    def bwd(store, tf, vs, out, t_final, g):
+        geo = _plane_geometry(
+            vs, k_planes, na_real, nc_real, nb_real, v_pad, u_pad, bounds
+        )
+        a0, a1, wa, dl = geo["a0"], geo["a1"], geo["wa"], geo["dl"]
+        u0, du, dv = vs[3], vs[4], vs[5]
+        eb, ec, v0g = vs[6], vs[7], vs[8]
+        view8 = jnp.stack([u0, du, dv, eb, ec, v0g, vs[2], 0.0 * u0])
+
+        g_rgb = g[..., :3]
+        g_a = g[..., 3]
+        gr = jnp.zeros((v_pad, u_pad, 3), jnp.float32).at[
+            :v_size, :u_size
+        ].set(g_rgb)
+        ga = jnp.zeros((v_pad, u_pad), jnp.float32).at[
+            :v_size, :u_size
+        ].set(g_a)
+        out_p = jnp.zeros((v_pad, u_pad, 3), jnp.float32).at[
+            :v_size, :u_size
+        ].set(out[..., :3])
+        g4 = jnp.concatenate(
+            [jnp.moveaxis(gr, -1, 0), ga[None]], axis=0
+        )  # (4, Vp, Up)
+        tot = jnp.einsum("vuc,vuc->vu", gr, out_p, precision=HP)
+        tfmat = tf_tables(tf, v_pad)
+        corr = geo["corr"]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(k_planes,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, nc_pad, nb_pad),
+                    lambda k, idx, idx1, _w, _d, _v: (idx[k], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, nc_pad, nb_pad),
+                    lambda k, idx, idx1, _w, _d, _v: (idx1[k], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (8, v_pad, 128),
+                    lambda k, idx, idx1, _w, _d, _v: (0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (v_pad, u_pad), lambda k, idx, idx1, _w, _d, _v: (0, 0)
+                ),
+                pl.BlockSpec(
+                    (4, v_pad, u_pad),
+                    lambda k, idx, idx1, _w, _d, _v: (0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (v_pad, u_pad), lambda k, idx, idx1, _w, _d, _v: (0, 0)
+                ),
+                pl.BlockSpec(
+                    (v_pad, u_pad), lambda k, idx, idx1, _w, _d, _v: (0, 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, nc_pad, nb_pad),
+                    lambda k, idx, idx1, _w, _d, _v: (idx[k], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, nc_pad, nb_pad),
+                    lambda k, idx, idx1, _w, _d, _v: (idx1[k], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, v_pad, u_pad),
+                    lambda k, idx, idx1, _w, _d, _v: (k, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, v_pad, u_pad),
+                    lambda k, idx, idx1, _w, _d, _v: (k, 0, 0),
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((v_pad, u_pad), jnp.float32),
+                pltpu.VMEM((v_pad, u_pad), jnp.float32),
+                pltpu.VMEM((v_pad, u_pad), jnp.float32),
+            ],
+        )
+        d0, d1, w_pl, dav_pl = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((na_store, nc_pad, nb_pad), jnp.float32),
+                jax.ShapeDtypeStruct((na_store, nc_pad, nb_pad), jnp.float32),
+                jax.ShapeDtypeStruct((k_planes, v_pad, u_pad), jnp.float32),
+                jax.ShapeDtypeStruct((k_planes, v_pad, u_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(a0, a1, wa, dl, view8, store, store, tfmat, corr, g4, tot,
+          t_final)
+
+        # Slices the sweep never visited hold uninitialized memory —
+        # zero them with runtime coverage masks.
+        rows = jnp.arange(na_store, dtype=jnp.int32)
+        cov0 = (rows[:, None] == a0[None, :]).any(axis=1)
+        cov1 = (rows[:, None] == a1[None, :]).any(axis=1)
+        d_store = jnp.where(cov0[:, None, None], d0, 0.0) + jnp.where(
+            cov1[:, None, None], d1, 0.0
+        )
+
+        if not diff_tf:
+            return d_store, jnp.zeros((TF_SIZE, 4), jnp.float32)
+
+        # TF gradient: recompute the plane densities (pure MXU — no
+        # table gathers) in chunks and run the one-hot MXU scatter with
+        # the kernel's per-plane (w, dα) outputs.
+        n_chunks = -(-k_planes // kc)
+        k_pad = n_chunks * kc
+
+        def padk(x):
+            return jnp.pad(x, (0, k_pad - k_planes))
+
+        geo_p = dict(
+            geo, a0=padk(a0), a1=padk(a1), wa=padk(wa), dl=padk(dl)
+        )
+        w_pad = jnp.pad(w_pl, ((0, k_pad - k_planes), (0, 0), (0, 0)))
+        dav_pad = jnp.pad(dav_pl, ((0, k_pad - k_planes), (0, 0), (0, 0)))
+
+        def chunk(dtf, ci):
+            sl = jax.lax.dynamic_slice_in_dim(
+                jnp.arange(k_pad), ci * kc, kc
+            )
+            mb, mct = _interp_mats(
+                geo_p, geo_p["dl"][sl], nb_real, nc_real, nb_pad, nc_pad,
+                v_pad, u_pad, bounds,
+            )
+            lo = jnp.take(store, geo_p["a0"][sl], axis=0)
+            hi = jnp.take(store, geo_p["a1"][sl], axis=0)
+            wa_c = geo_p["wa"][sl]
+            vs_c = lo * (1.0 - wa_c)[:, None, None] + hi * wa_c[
+                :, None, None
+            ]
+            s1 = jnp.einsum("kcb,kbu->kcu", vs_c, mb, precision=HP)
+            dens = jnp.einsum("kvc,kcu->kvu", mct, s1, precision=HP)
+            s = jnp.clip(dens, 0.0, 1.0) * TF_SIZE - 0.5
+            s = jnp.clip(s, 0.0, float(TF_SIZE - 1))
+            i0f = jnp.floor(s)
+            wt = s - i0f
+            i0 = i0f.astype(jnp.int32)
+            i1 = jnp.minimum(i0 + 1, TF_SIZE - 1)
+            w_c = jax.lax.dynamic_slice_in_dim(w_pad, ci * kc, kc)
+            dav_c = jax.lax.dynamic_slice_in_dim(dav_pad, ci * kc, kc)
+            drgba = jnp.concatenate(
+                [w_c[..., None] * gr[None], dav_c[..., None]], axis=-1
+            )
+            return dtf + _tf_scatter(i0, i1, wt, drgba), None
+
+        dtf0 = jnp.zeros((TF_SIZE, 4), jnp.float32)
+        dtf, _ = jax.lax.scan(chunk, dtf0, jnp.arange(n_chunks))
+        return d_store, dtf
+
+    return bwd
+
+
 class _StaticView(dict):
     """Hashable static view/geometry bundle for custom_vjp nondiff args."""
 
@@ -465,7 +863,7 @@ def _fwd(store, tf, vs, static):
 
 def _bwd(static, res, g):
     store, tf, vs, inter, t_final = res
-    bwd = _compiled_bwd(
+    common = dict(
         na_store=static["na_store"],
         na_real=static["na_real"],
         nc_real=static["nc_real"],
@@ -481,6 +879,12 @@ def _bwd(static, res, g):
         kc=static["kc"],
         diff_tf=static["diff_tf"],
     )
+    if static.get("backward", "pallas") == "pallas":
+        bwd = _compiled_bwd_pallas(
+            interpret=static["interpret"], **common
+        )
+    else:
+        bwd = _compiled_bwd(**common)
     d_store, dtf = bwd(store, tf, vs, inter, t_final, g)
     return d_store, dtf, None
 
@@ -504,6 +908,7 @@ def static_view(
     kc: int = 32,
     interpret: bool = False,
     diff_tf: bool = True,
+    backward: str = "pallas",  # "pallas" (fused sweep) | "jnp" (oracle)
 ) -> _StaticView:
     from libre_tpu.ops import shearwarp as sw
 
@@ -526,6 +931,7 @@ def static_view(
         kc=int(kc),
         interpret=bool(interpret),
         diff_tf=bool(diff_tf),
+        backward=str(backward),
     )
 
 

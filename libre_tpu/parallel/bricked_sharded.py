@@ -154,9 +154,13 @@ def render_store_grid_sharded(
         tfmat = swb.tf_tables(tf_l, v_pad)
         rgb_in = jnp.zeros((4, v_pad, u_pad), jnp.float32)
         t_in = jnp.ones((v_pad, u_pad), jnp.float32)
+        hit = swb.hit_mask(
+            ug, vg, wa0=wa0, wa1=wa1, eye_a=eye_a, eb=eb, ec=ec,
+            wb0=wb0, wb1=wb1, wc0=wc0, wc1=wc1,
+        )
         out, _t_fin = swb._post_call(
             kernel, slab, a0, a1, wa, dl, act, view8, tfmat, corr, clip_l,
-            rgb_in, t_in,
+            rgb_in, t_in, hit,
             k_planes=K_l,
             na=na_store,
             nc_pad=nc_pad,

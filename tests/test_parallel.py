@@ -41,6 +41,17 @@ def scene():
     return bricks, tf, eye, dirs, tnp
 
 
+@pytest.fixture(scope="module")
+def single_device_image(scene):
+    """One single-device oracle render shared by every mesh-shape
+    parametrization (the oracle compile dominates the file's wall)."""
+    bricks, tf, eye, dirs, tnp = scene
+    max_steps = max_steps_for_bricks(
+        bricks.world_min, bricks.world_max, PARAMS.step_size
+    )
+    return _single_device(bricks, tf, eye, dirs, tnp, max_steps), max_steps
+
+
 def _single_device(bricks, tf, eye, dirs, tnp, max_steps):
     order = raycast.sort_bricks_front_to_back(
         np.asarray(bricks.world_min), np.asarray(bricks.world_max), np.asarray(eye)
@@ -52,12 +63,9 @@ def _single_device(bricks, tf, eye, dirs, tnp, max_steps):
 
 
 @pytest.mark.parametrize("n_brick", [1, 2, 4])
-def test_sharded_matches_single_device(scene, n_brick):
+def test_sharded_matches_single_device(scene, single_device_image, n_brick):
     bricks, tf, eye, dirs, tnp = scene
-    max_steps = max_steps_for_bricks(
-        bricks.world_min, bricks.world_max, PARAMS.step_size
-    )
-    expected = _single_device(bricks, tf, eye, dirs, tnp, max_steps)
+    expected, max_steps = single_device_image
 
     mesh = make_mesh(n_brick=n_brick)
     sharded_bricks, _ = shard_bricks_front_to_back(

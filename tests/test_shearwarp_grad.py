@@ -156,3 +156,47 @@ def test_value_and_grad_through_screen_warp():
     assert np.isfinite(np.asarray(d_store)).all()
     assert float(jnp.abs(d_store).max()) > 0
     assert float(jnp.abs(d_tf).max()) > 0
+
+
+@pytest.mark.parametrize("tf_scale", [1.0, 3.0])
+@pytest.mark.parametrize("diff_tf", [True, False])
+def test_pallas_backward_equals_jnp_backward(tf_scale, diff_tf):
+    """The fused Pallas backward sweep (one kernel: recompute + carry
+    inversion + in-kernel transposed matmuls + slice-indexed d_store
+    accumulation) must match the jnp recompute backward bit-for-bit in
+    structure and tightly in floats — including early-exit saturation
+    (tf_scale=3), a K not divisible by the scatter chunk, and the
+    TF-frozen mode."""
+    vol, store, tf, vs, _ = setup(tf_scale=tf_scale)
+    na, nc, nb = vol.shape
+    kw = dict(
+        na_store=na, na_real=na, nc_real=nc, nb_real=nb,
+        k_planes=K, v_size=V_SIZE, u_size=U_SIZE,
+        world_min=GMIN, world_max=GMAX, axis=AXIS,
+        early_exit=PARAMS.early_exit, kc=16, interpret=True,
+        diff_tf=diff_tf,
+    )
+    st_pl = swg.static_view(backward="pallas", **kw)
+    st_np = swg.static_view(backward="jnp", **kw)
+    rng = np.random.default_rng(1)
+    g_img = jnp.asarray(
+        rng.standard_normal((V_SIZE, U_SIZE, 4)).astype(np.float32)
+    )
+
+    def grads(static):
+        def loss(store_, tf_):
+            out = swg.render_store_grid_diff(store_, tf_, vs, static)
+            return jnp.sum(out * g_img)
+
+        return jax.grad(loss, argnums=(0, 1))(store, tf)
+
+    ds_pl, dtf_pl = grads(st_pl)
+    ds_np, dtf_np = grads(st_np)
+    np.testing.assert_allclose(
+        np.asarray(ds_pl), np.asarray(ds_np), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dtf_pl), np.asarray(dtf_np), atol=1e-5, rtol=1e-4
+    )
+    if not diff_tf:
+        assert np.abs(np.asarray(dtf_pl)).max() == 0.0
