@@ -418,7 +418,6 @@ class RenderEngine:
         # (GLRaycastPipeline.cpp:148-186): each pass uploads its batch and
         # composites onto the carried per-ray (rgb, a).
         eye_np = np.asarray(camera.inv_mv)[:3, 3]
-        half = np.asarray(self.info.world_size, np.float32) * 0.5
         order_nodes = self._sort_nodes(render_nodes, eye_np)
         batch = max(1, self.atlas.n_slots - 1)
 
@@ -429,7 +428,14 @@ class RenderEngine:
         tnp_ = ray_ops.near_plane_t(cos_z.reshape(-1), camera.near)
 
         max_steps = self._max_steps(order_nodes, params)
-        carry = None
+        clip_arr = (
+            clip_planes.as_array() if clip_planes is not None else None
+        )
+        carry = (
+            jnp.zeros((dirs.shape[0], 3), jnp.float32),
+            jnp.zeros((dirs.shape[0],), jnp.float32),
+        )
+        rendered_any = False
         histogram: Optional[Histogram] = None
         for start in range(0, max(len(order_nodes), 1), batch):
             pass_nodes = order_nodes[start : start + batch]
@@ -447,22 +453,20 @@ class RenderEngine:
             # The carried per-ray (rgb, a) is the accumulation texture
             # persisting across memory-bounded passes (fragRaycast.glsl:115,
             # GLRaycastPipeline.cpp:148-186); threading it through keeps
-            # early termination exact across pass boundaries.
-            rgb_a = raycast.render_rays(
-                brick_set,
-                self.transfer_function,
-                eye,
-                dirs,
-                tnp_,
-                params,
-                -half,
-                half,
-                clip_planes.as_array() if clip_planes is not None else None,
-                max_steps=max_steps,
-                init_carry=carry,
+            # early termination exact across pass boundaries.  The pass
+            # runs through a jit cached per (brick count, ray count,
+            # steps, params) — the hot path used to re-trace eagerly
+            # every call, which dominated frame time on every backend.
+            fn = self._pass_renderer(
+                len(pass_nodes), dirs.shape[0], max_steps, params,
+                clip_arr,
+            )
+            rgb_a = fn(
+                brick_set, self.transfer_function, eye, dirs, tnp_, carry
             )
             carry = (rgb_a[:, :3], rgb_a[:, 3])
-        if carry is None:
+            rendered_any = True
+        if not rendered_any:
             rgb_a = jnp.zeros((vw * vh, 4), jnp.float32)
 
         stats.n_render_available = len(order_nodes)
@@ -852,6 +856,40 @@ class RenderEngine:
             u_size=u_size,
         )
         return img, stats
+
+    def _pass_renderer(
+        self,
+        n_bricks: int,
+        n_rays: int,
+        max_steps: int,
+        params: RenderParams,
+        clip_arr: Optional[np.ndarray],
+    ):
+        """Cached jitted single-pass marcher.  One compilation per
+        (brick count, ray count, step count, params, clip-plane set);
+        the TF, camera rays, and carry are runtime operands, so
+        steady-state frames and repeated passes reuse it.  Clip planes
+        are compile-time constants (ops/rays.clip_ray unrolls them)."""
+        clip_key = (
+            None if clip_arr is None
+            else np.asarray(clip_arr, np.float32).tobytes()
+        )
+        key = ("pass", n_bricks, n_rays, max_steps, params, clip_key)
+        fn = self._compiled.get(key)
+        if fn is None:
+            half = np.asarray(self.info.world_size, np.float32) * 0.5
+
+            @jax.jit
+            def run(brick_set, tf, eye, dirs, tnp, carry):
+                return raycast.render_rays(
+                    brick_set, tf, eye, dirs, tnp, params, -half, half,
+                    clip_arr,
+                    max_steps=max_steps, init_carry=carry,
+                )
+
+            fn = run
+            self._compiled[key] = fn
+        return fn
 
     def accumulate_histogram(self, nodes: Sequence[NodeId]) -> Optional[Histogram]:
         """Merge per-brick histograms (HistogramFilter.cpp:44-129)."""
