@@ -64,7 +64,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from libre_tpu.ops.reference import ALPHA_CLAMP, RenderParams
 from libre_tpu.ops import shearwarp as sw
-from libre_tpu.ops.shearwarp_pallas import _interp_matrix, _round_up
+from libre_tpu.ops.shearwarp_pallas import (
+    _interp_matrix,
+    _round_up,
+    hit_mask,
+)
 
 SENTINEL = -1024.0  # uncovered-voxel marker (normalized density is [0,1])
 TF_SIZE = 256
@@ -415,24 +419,6 @@ def _compiled_post_renderer(
         )
 
     return run
-
-
-def hit_mask(ug, vg, *, wa0, wa1, eye_a, eb, ec, wb0, wb1, wc0, wc1):
-    """(V, U) f32: 1 unless the (u, v) slope ray provably never enters
-    the volume's b/c extents anywhere on the a-range (a NECESSARY
-    per-axis intersection condition — xb/xc are monotone in the plane
-    coordinate, so interval overlap at the endpoints bounds them).
-    Conservative the safe way: 0 ⇒ a true miss (the ray samples
-    nothing), so excluding it from the whole-plane early-exit test is
-    exact; 1 may still miss (just less skipping).  Works in numpy or
-    jnp."""
-    xp = jnp if isinstance(ug, jnp.ndarray) or isinstance(wa0, jnp.ndarray) else np
-    d0, d1 = wa0 - eye_a, wa1 - eye_a
-    xb0, xb1 = eb + ug * d0, eb + ug * d1
-    hu = (xp.minimum(xb0, xb1) <= wb1) & (xp.maximum(xb0, xb1) >= wb0)
-    xc0, xc1 = ec + vg * d0, ec + vg * d1
-    hv = (xp.minimum(xc0, xc1) <= wc1) & (xp.maximum(xc0, xc1) >= wc0)
-    return (hv[:, None] & hu[None, :]).astype(xp.float32)
 
 
 def tf_tables(tf: jnp.ndarray, v_pad: int) -> jnp.ndarray:

@@ -157,6 +157,24 @@ def _plane_activity(content: jnp.ndarray, a0: jnp.ndarray, na: int) -> jnp.ndarr
     return jnp.take(content, a0) | jnp.take(content, a1)
 
 
+def hit_mask(ug, vg, *, wa0, wa1, eye_a, eb, ec, wb0, wb1, wc0, wc1):
+    """(V, U) f32: 1 unless the (u, v) slope ray provably never enters
+    the volume's b/c extents anywhere on the a-range (a NECESSARY
+    per-axis intersection condition — xb/xc are monotone in the plane
+    coordinate, so interval overlap at the endpoints bounds them).
+    Conservative the safe way: 0 ⇒ a true miss (the ray samples
+    nothing), so excluding it from the whole-plane early-exit test is
+    exact; 1 may still miss (just less skipping).  Works in numpy or
+    jnp."""
+    xp = jnp if isinstance(ug, jnp.ndarray) or isinstance(wa0, jnp.ndarray) else np
+    d0, d1 = wa0 - eye_a, wa1 - eye_a
+    xb0, xb1 = eb + ug * d0, eb + ug * d1
+    hu = (xp.minimum(xb0, xb1) <= wb1) & (xp.maximum(xb0, xb1) >= wb0)
+    xc0, xc1 = ec + vg * d0, ec + vg * d1
+    hv = (xp.minimum(xc0, xc1) <= wc1) & (xp.maximum(xc0, xc1) >= wc0)
+    return (hv[:, None] & hu[None, :]).astype(xp.float32)
+
+
 def _axis_lerp_table(z: np.ndarray, wa0: float, wa1: float, na: int):
     """Per-plane slice indices + lerp weight for the major axis — the
     scalar form of shearwarp._lerp_matrix (clamp-to-edge, half-voxel
@@ -218,6 +236,10 @@ def _make_kernel(
         lo_ref,  # (1, 4*Nc_pad, Nb_pad) volume slice a0
         hi_ref,  # (1, 4*Nc_pad, Nb_pad) volume slice a1
         corr_ref,  # (V_pad, U_pad) per-ray opacity-correction exponent
+        hit_ref,  # (V_pad, U_pad) f32: 1 = ray may intersect the volume
+        #           (never-hitting rays keep t = 1 but sample nothing;
+        #           excluding them lets the whole-grid early-exit flag
+        #           fire on saturated scenes — skipping stays exact)
         out_ref,  # (4, V_pad, U_pad) accumulated rgb + alpha
         t_eff_ref,  # (V_pad, U_pad) transmittance carry
         done_ref,  # (1,) i32 all-rays-saturated flag
@@ -317,7 +339,9 @@ def _make_kernel(
             # full-grid max-reduction runs every 8th plane only.
             @pl.when(k % 8 == 7)
             def _():
-                @pl.when(jnp.max(t_eff) < 1.0 - early_exit)
+                @pl.when(
+                    jnp.max(t_eff * hit_ref[:]) < 1.0 - early_exit
+                )
                 def _():
                     done_ref[0] = 1
 
@@ -396,8 +420,12 @@ def _compiled_renderer(
         vg = v0 + dv * jnp.arange(v_pad, dtype=jnp.float32)
         length = jnp.sqrt(1.0 + ug[None, :] ** 2 + vg[:, None] ** 2)
         corr = msr * dz * length
+        hit = hit_mask(
+            ug, vg, wa0=wa0, wa1=wa1, eye_a=eye_a, eb=eb, ec=ec,
+            wb0=wb0, wb1=wb1, wc0=wc0, wc1=wc1,
+        )
         out = _fused_call(
-            kernel, chans, a0, wa, dl, act, view6, corr,
+            kernel, chans, a0, wa, dl, act, view6, corr, hit,
             k_planes=k_planes,
             na=na,
             nc_pad=nc_pad,
@@ -472,7 +500,7 @@ def render_from_classified(
 
 
 def _fused_call(
-    kernel, chans, a0, wa, dl, act, view6, corr, *,
+    kernel, chans, a0, wa, dl, act, view6, corr, hit, *,
     k_planes, na, nc_pad, nb_pad, v_pad, u_pad, interpret,
 ):
     """Invoke the fused kernel (shared by the single-device path and the
@@ -490,6 +518,9 @@ def _fused_call(
                 lambda k, idx, _w, _d, _a, _v: (
                     jnp.minimum(idx[k] + 1, na - 1), 0, 0
                 ),
+            ),
+            pl.BlockSpec(
+                (v_pad, u_pad), lambda k, idx, _w, _d, _a, _v: (0, 0)
             ),
             pl.BlockSpec(
                 (v_pad, u_pad), lambda k, idx, _w, _d, _a, _v: (0, 0)
@@ -514,7 +545,7 @@ def _fused_call(
             transcendentals=k_planes * v_pad * u_pad,
         ),
         interpret=interpret,
-    )(a0, wa, dl, act, view6, chans, chans, corr)
+    )(a0, wa, dl, act, view6, chans, chans, corr, hit)
 
 
 def _jnp_slope_grid(volume_zyx, tf, plan_args):
@@ -769,6 +800,13 @@ def render_slope_grid_sharded(
             jnp.float32([u0, du, dv, eye[b_axis], eye[c_axis]]),
             vg0[None],
         ])
+        hit = hit_mask(
+            jnp.asarray(ug), vg, wa0=jnp.float32(wa0), wa1=jnp.float32(wa1),
+            eye_a=jnp.float32(eye[axis]), eb=jnp.float32(eye[b_axis]),
+            ec=jnp.float32(eye[c_axis]),
+            wb0=float(wmin[b_axis]), wb1=float(wmax[b_axis]),
+            wc0=float(wmin[c_axis]), wc1=float(wmax[c_axis]),
+        )
         out = _fused_call(
             kernel,
             chans_l,
@@ -778,6 +816,7 @@ def render_slope_grid_sharded(
             act_l,
             view6,
             corr,
+            hit,
             k_planes=k_l,
             na=na,
             nc_pad=nc_pad,

@@ -28,7 +28,7 @@ from tests.test_bricked import make_scene
 
 load_plugins()
 
-URI = "mem://#64,64,64,16?pattern=gradient&datatype=uint8"
+URI = "mem://#32,32,32,16?pattern=gradient&datatype=uint8"
 PARAMS = RenderParams(
     n_samples_per_ray=64, data_source_range=(0.0, 255.0),
     filter_mode="trilinear",

@@ -17,7 +17,7 @@ from libre_tpu.render.engine import RenderEngine, compute_rendering_set
 load_plugins()
 
 W = H = 64
-URI = "mem://#64,64,64,16?pattern=gradient&datatype=uint8"
+URI = "mem://#32,32,32,16?pattern=gradient&datatype=uint8"
 PARAMS = RenderParams(
     n_samples_per_ray=64, data_source_range=(0.0, 255.0), filter_mode="trilinear"
 )
@@ -90,10 +90,11 @@ def test_multipass_exact(view):
     them compose exactly like a single pass (GLRaycastPipeline.cpp:148-186)."""
     camera, frustum = view
     big = RenderEngine(DataSource(URI), max_gpu_cache_mb=64)
-    brick_mb = int(np.prod(big.info.maximum_block_size)) * 4 / 2**20
-    starved = RenderEngine(
-        DataSource(URI), max_gpu_cache_mb=max(1, int(np.ceil(brick_mb * 3)))
-    )
+    # Budget sized so the ATLAS (atlas_fraction = 0.5 of the total, in
+    # the dataset's native dtype) holds ~3 bricks of the 8-brick scene.
+    starved_mb = 3 * big.atlas.slot_bytes * 2 / 2**20
+    starved = RenderEngine(DataSource(URI), max_gpu_cache_mb=starved_mb)
+    assert starved.atlas.n_slots < 8
     img1, stats1, _ = big.render(
         camera, frustum, params=PARAMS, screen_space_error=1.0, synchronous=True
     )

@@ -24,24 +24,26 @@ def _camera(eye, img=32, near=0.1):
     )
 
 
-def _problem():
+def _problem(n_views=2):
     gmin, gmax = np.float32([-0.5] * 3), np.float32([0.5] * 3)
     params = RenderParams(
         n_samples_per_ray=16, data_source_range=(0.0, 1.0),
         filter_mode="trilinear",
     )
     swp = sw.ShearWarpParams(n_planes=16, inter_size=(16, 16))
-    cams = [_camera([0.2, 0.1, 1.4]), _camera([1.4, 0.1, 0.2])]
+    cams = [_camera([0.2, 0.1, 1.4]), _camera([1.4, 0.1, 0.2])][:n_views]
     return swt.ShearWarpProblem.from_cameras(cams, gmin, gmax, params, swp)
 
 
 def test_gradients_sharded_match_single_device():
-    problem = _problem()
+    # One view: the multi-view loss is a plain sum (tested by the fit
+    # test); grad-of-shard_map compile time dominates this file.
+    problem = _problem(n_views=1)
     mesh = make_mesh(n_brick=2, n_ray=4)
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.random((12,) * 3, dtype=np.float32))
     tf = jnp.asarray(tf_ops.default_color_map(32))
-    targets = [jnp.zeros((16, 16, 4), jnp.float32)] * 2
+    targets = [jnp.zeros((16, 16, 4), jnp.float32)]
 
     def loss(mesh_):
         def f(v, t):
