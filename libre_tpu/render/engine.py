@@ -857,6 +857,129 @@ class RenderEngine:
         )
         return img, stats
 
+    def render_bricked_sharded(
+        self,
+        camera: Camera,
+        frustum: Frustum,
+        mesh,
+        params: Optional[RenderParams] = None,
+        screen_space_error: float = 4.0,
+        min_lod: int = 0,
+        max_lod: int = (1 << 4) - 1,
+        clip_planes: Optional[ClipPlanes] = None,
+        time_step: int = 0,
+        data_range: Tuple[float, float] = (0.0, 1.0),
+        n_planes: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, RenderStatistics]:
+        """Multi-device bricked frame over a (brick × ray) mesh — the
+        engine face of BASELINE config 4 (large multi-brick volume,
+        decomposed across a device mesh).
+
+        Sort-last: the brick axis splits the GLOBAL plane grid into
+        front-to-back slabs, each device receiving only the assembled
+        store slices its planes bracket (build_sharded_slabs, 1/D HBM);
+        sort-first: the ray axis shards slope-grid rows.  Segments fold
+        with the over operator in rank order — the Channel DB
+        compositing of livre/eq/Channel.cpp:444-586.  The viewport
+        height must divide the ray-axis size and the plane count the
+        brick axis."""
+        from libre_tpu.ops import shearwarp as sw
+        from libre_tpu.ops import shearwarp_bricked as swb
+        from libre_tpu.ops import shearwarp_grad as swg
+        from libre_tpu.parallel.bricked_sharded import (
+            build_sharded_slabs,
+            render_store_grid_sharded,
+        )
+        from libre_tpu.parallel.mesh import BRICK_AXIS
+
+        interpret = jax.devices()[0].platform != "tpu"
+        vx, vy, vw, vh = camera.viewport
+        visibles = self.select(
+            frustum, vh, screen_space_error, min_lod, max_lod,
+            data_range, clip_planes, time_step,
+        )
+        stats = RenderStatistics()
+        self.prefetch_batch(visibles)
+        render_nodes = list(visibles)
+        stats.n_available = len(render_nodes)
+        stats.n_render_available = len(render_nodes)
+        if not render_nodes:
+            return jnp.zeros((vh, vw, 4), jnp.float32), stats
+
+        info = self.info
+        half = np.asarray(info.world_size, np.float32) * 0.5
+        if params is None:
+            max_level = max(n.level for n in render_nodes)
+            spr = n_planes or nyquist_samples_per_ray(
+                info.voxels, info.root_node.depth, max_level
+            )
+            params = RenderParams(
+                n_samples_per_ray=spr,
+                data_source_range=self.data_source_range,
+                filter_mode="trilinear",
+            )
+        swp = sw.ShearWarpParams(
+            n_planes=n_planes or params.n_samples_per_ray,
+            inter_size=(vh, vw),
+            classification="post",
+        )
+        sw_plan = sw.make_view_plan(camera, swp.slope_margin)
+        axis = sw_plan.axis
+        render_level = max(n.level for n in render_nodes)
+
+        entries = [self._upload_node(n).pin() for n in render_nodes]
+        try:
+            slot_of = {n.id: e.value for n, e in zip(render_nodes, entries)}
+            plan = swb.build_assembly_plan(
+                self.datasource, render_nodes, axis,
+                lambda n: slot_of[n.id],
+                params.data_source_range,
+                render_level=render_level,
+            )
+            na, nc, nb = plan.fine_dims
+            fv = swg.view_vector(
+                world_min=-half, world_max=half, axis=axis,
+                eye=sw_plan.eye, sign=sw_plan.sign,
+                slope_bounds=sw_plan.bounds, inter_size=swp.inter_size,
+                max_samples_per_ray=params.max_samples_per_ray,
+            )
+            d_k = mesh.shape[BRICK_AXIS]
+            slabs, a_base = build_sharded_slabs(
+                self.atlas.data, plan, fv, swp.n_planes, d_k
+            )
+        finally:
+            for e in entries:
+                e.unpin()
+        stats.n_passes = d_k
+
+        clip_arr = (
+            clip_planes.as_array() if clip_planes is not None else None
+        )
+        clip_m, n_clip = swb.clip_matrix(clip_arr, axis)
+        b_axis, c_axis = sw._BC_AXES[axis]
+        inter = render_store_grid_sharded(
+            mesh, slabs, self.transfer_function, jnp.asarray(fv),
+            na_real=na, nc_real=nc, nb_real=nb, k_planes=swp.n_planes,
+            inter_size=swp.inter_size,
+            wb0=float(-half[b_axis]), wb1=float(half[b_axis]),
+            wc0=float(-half[c_axis]), wc1=float(half[c_axis]),
+            early_exit=float(params.early_exit),
+            clip=jnp.asarray(clip_m), n_clip=n_clip,
+            a_base=a_base, interpret=interpret,
+        )
+        u0, u1, v0, v1 = sw_plan.bounds
+        v_size, u_size = swp.inter_size
+        img = sw.warp_frame_device(
+            inter,
+            jnp.asarray(camera.inv_proj, jnp.float32),
+            jnp.asarray(camera.inv_mv, jnp.float32),
+            u0, (u1 - u0) / (u_size - 1), (v1 - v0) / (v_size - 1),
+            v0, sw_plan.sign,
+            axis=axis, viewport=(vx, vy, vw, vh),
+            v_size=v_size, u_size=u_size,
+        )
+        return img, stats
+
     def _pass_renderer(
         self,
         n_bricks: int,

@@ -193,3 +193,39 @@ def test_sharded_from_atlas_end_to_end(tmp_path):
         )
     )
     np.testing.assert_allclose(img, ref, atol=2e-5)
+
+
+def test_engine_render_bricked_sharded_parity(tmp_path):
+    """Engine-level multi-device frame (BASELINE config 4): the mesh
+    render over per-device slabs equals the single-device bricked frame
+    up to device-local early termination (< 1 - threshold)."""
+    from libre_tpu.core.frustum import Frustum, look_at, perspective
+    from libre_tpu.ops.reference import Camera
+    from libre_tpu.render.engine import RenderEngine
+
+    _vol, ds = make_scene(tmp_path)
+    engine = RenderEngine(ds, max_gpu_cache_mb=64, filter_mode="trilinear")
+    proj = perspective(50.0, 1.0, 0.1, 15.0)
+    mv = look_at([0.2, 0.1, 1.4], [0, 0, 0], [0, 1, 0])
+    frustum = Frustum(mv, proj)
+    cam = Camera(
+        inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(np.float32),
+        inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
+        viewport=(0, 0, 48, 48),
+        near=frustum.near,
+    )
+    params = RenderParams(
+        n_samples_per_ray=48, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear",
+    )
+    single, s1 = engine.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=48
+    )
+    mesh = make_mesh(n_brick=2, n_ray=4)
+    multi, s2 = engine.render_bricked_sharded(
+        cam, frustum, mesh, params=params, screen_space_error=1.0,
+        n_planes=48,
+    )
+    assert s2.n_passes == 2
+    assert multi.shape == single.shape
+    assert np.abs(np.asarray(multi) - np.asarray(single)).max() < 2e-3
