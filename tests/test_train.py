@@ -84,11 +84,11 @@ def test_loss_decreases(setup):
 
     state, loss0 = step(state, eye, dirs, tnp, target)
     losses = [float(loss0)]
-    for _ in range(60):
+    for _ in range(35):
         state, loss = step(state, eye, dirs, tnp, target)
         losses.append(float(loss))
-    assert losses[-1] < losses[0] * 0.05, losses[::10]
-    assert int(state.step) == 61
+    assert losses[-1] < losses[0] * 0.1, losses[::10]
+    assert int(state.step) == 36
 
     # Density gradients/params stay sharded along the brick axis.
     sharding = state.params["density"].sharding
@@ -96,11 +96,13 @@ def test_loss_decreases(setup):
 
 
 def test_checkpoint_roundtrip(setup, tmp_path):
+    """Orbax round-trip of the sharded train state (params only — the
+    train step itself is covered by test_loss_decreases; compiling a
+    second step graph here would double the file's wall for no extra
+    coverage)."""
     mesh, problem, true_tf, eye, dirs, tnp, target = setup
     optimizer = optax.adam(1e-2)
     state = init_state(problem, true_tf, optimizer, mesh=mesh)
-    step = make_train_step(problem, optimizer, mesh)
-    state, _ = step(state, eye, dirs, tnp, target)
 
     path = str(tmp_path / "ckpt")
     save_checkpoint(path, state.params)
