@@ -229,3 +229,13 @@ def test_engine_render_bricked_sharded_parity(tmp_path):
     assert s2.n_passes == 2
     assert multi.shape == single.shape
     assert np.abs(np.asarray(multi) - np.asarray(single)).max() < 2e-3
+    # Steady state: the sharded path shares the single-device
+    # assembled-store cache (replicated mode) — one entry, no
+    # reassembly on the next frame from either path.
+    assert len(engine._store_cache) == 1
+    again, _ = engine.render_bricked_sharded(
+        cam, frustum, mesh, params=params, screen_space_error=1.0,
+        n_planes=48,
+    )
+    assert len(engine._store_cache) == 1
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(multi))
