@@ -63,6 +63,12 @@ class SelectVisibles(NodeVisitor):
 
     def visit(self, node_id: NodeId, state: VisitState) -> None:
         lod_node: LODNode = self._datasource.get_node(node_id)
+        if min(lod_node.block_size) <= 0:
+            # Invalid node — e.g. a child outside a non-octree brick
+            # grid (UVF subsets, UVFDataSource.cpp:311-318): cull and
+            # do not descend (its children are invalid too).
+            state.visit_child = False
+            return
         wmin = np.asarray(lod_node.world_box_min, np.float32)
         wmax = np.asarray(lod_node.world_box_max, np.float32)
 

@@ -258,6 +258,15 @@ class UVFDataSource(DataSourcePlugin):
         toc = self._tocs[ts]
         lod = self._tuvok_lod(node_id.level)
         pos = node_id.position
+        layout = toc.lod_layout[lod]
+        if any(p < 0 or p >= n for p, n in zip(pos, layout)):
+            # Out-of-grid child of a non-octree subset: the flat ToC
+            # index would silently land in another LOD's entries
+            # (UVFDataSource.cpp:311-318 marks these invalid).
+            raise ValueError(
+                f"UVF: node {node_id} outside the LOD {lod} brick grid "
+                f"{layout}"
+            )
         offset, length, compression, raw_len = toc.entry(lod, pos)
         start = toc.base + offset
         blob = bytes(self._mmap[start : start + length])

@@ -108,3 +108,72 @@ def test_world_boxes_nest(source):
             tol = coarse_voxel[d] + 1e-6
             assert child.world_box_min[d] >= parent.world_box_min[d] - tol
             assert child.world_box_max[d] <= parent.world_box_max[d] + tol
+
+
+def test_out_of_grid_get_data_raises(source):
+    """Reading an out-of-grid child must fail loudly — the flat ToC
+    index would otherwise land in another LOD's entries and return a
+    wrong-shaped brick silently (found rendering mouse_reduced.uvf at
+    SSE 1: selection descended into the non-octree subset)."""
+    with pytest.raises(ValueError, match="outside the LOD"):
+        source.get_data(NodeId.from_coords(1, (3, 0, 0)))
+    with pytest.raises(ValueError, match="outside the LOD"):
+        source.get_data(NodeId.from_coords(1, (0, 0, 5)))
+
+
+def test_selection_skips_invalid_children(source):
+    """SelectVisibles culls invalid (out-of-grid) nodes instead of
+    selecting their degenerate boxes (UVFDataSource.cpp:311-318)."""
+    from libre_tpu.core.frustum import Frustum, look_at, perspective
+    from libre_tpu.core.select_visibles import select_visibles
+
+    proj = perspective(50.0, 1.0, 0.1, 15.0)
+    mv = look_at([0.3, 0.2, 1.6], [0, 0, 0], [0, 1, 0])
+    frustum = Frustum(mv, proj)
+    visibles = select_visibles(source, frustum, 128, 1.0)
+    assert len(visibles) > 1
+    toc_layout = (3, 3, 5)  # level-1 brick grid of mouse_reduced
+    for n in visibles:
+        if n.level == 1:
+            assert all(p < g for p, g in zip(n.position, toc_layout)), n
+
+
+def test_engine_renders_uvf_end_to_end(source):
+    """The full engine pipeline (selection → native-dtype atlas →
+    bricked fast path vs exact marcher) on the real UVF file: both
+    paths produce a consistent image of the dataset."""
+    import jax.numpy as jnp
+
+    from libre_tpu.core.frustum import Frustum, look_at, perspective
+    from libre_tpu.ops.reference import Camera, RenderParams
+    from libre_tpu.render.engine import RenderEngine
+
+    eng = RenderEngine(source, max_gpu_cache_mb=64, filter_mode="trilinear")
+    assert eng.atlas_dtype == jnp.dtype(jnp.uint8)  # native dtype
+    proj = perspective(50.0, 1.0, 0.1, 15.0)
+    mv = look_at([0.3, 0.2, 1.6], [0, 0, 0], [0, 1, 0])
+    frustum = Frustum(mv, proj)
+    cam = Camera(
+        inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(np.float32),
+        inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
+        viewport=(0, 0, 48, 48),
+        near=frustum.near,
+    )
+    info = source.volume_info
+    params = RenderParams(
+        n_samples_per_ray=64,
+        data_source_range=info.data_type.default_range,
+        filter_mode="trilinear",
+    )
+    exact, s1, _ = eng.render(
+        cam, frustum, params=params, screen_space_error=1.0
+    )
+    fast, s2 = eng.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=64
+    )
+    e, f = np.asarray(exact), np.asarray(fast)
+    assert s1.n_available > 1 and s2.rendering_done
+    assert e[..., 3].max() > 0.9 and f[..., 3].max() > 0.9
+    # Different sample parameterizations (ray-uniform vs axis-uniform)
+    # bound the pointwise agreement, not bit-exactness.
+    assert np.abs(e - f).mean() < 0.05
