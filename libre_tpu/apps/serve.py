@@ -200,13 +200,27 @@ class RenderService:
                 # by the tree depth (each round promotes at least one
                 # LOD level into residency).
                 for _ in range(32):
-                    for f in stats.pending_uploads:
+                    pending = stats.pending_uploads
+                    for f in pending:
                         f.result()
                     img, stats, hist = self._render_once(
                         camera, frustum, kw, renderer
                     )
                     if stats.rendering_done:
                         break
+                    if not pending and not stats.pending_uploads:
+                        # No uploads in flight and none kicked — another
+                        # round cannot make progress (e.g. a brick that
+                        # permanently fails to load); stop re-rendering
+                        # the same image (advisor r3).
+                        break
+                if not stats.rendering_done:
+                    print(
+                        "render_frame: returning before convergence "
+                        f"(nodes not resident: {stats.n_not_available})",
+                        file=sys.stderr,
+                        flush=True,
+                    )
         if hist is not None:
             self._histogram = {
                 "bins": np.asarray(hist.bins).tolist(),

@@ -183,6 +183,10 @@ def _tf_scatter(i0, i1, wt, drgba, chunk=1 << 19):
     S×(16+64) — the dominant backward cost when the TF is optimized.
     Both interpolation taps ride the same stream (2S samples)."""
     flat_n = int(np.prod(i0.shape))
+    # Clamp the chunk to the (lane-aligned) workload so small frames and
+    # interpret-mode tests don't pad up to half a million samples of
+    # redundant one-hot matmul work per scatter call (advisor r3).
+    chunk = min(chunk, _round_up(2 * flat_n, 128))
     idx = jnp.concatenate([i0.reshape(-1), i1.reshape(-1)])
     w = jnp.concatenate([(1.0 - wt).reshape(-1), wt.reshape(-1)])
     g4 = drgba.reshape(-1, 4)

@@ -21,6 +21,7 @@ renderers/glRaycaster/GLRaycastPipeline.cpp:78-350:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 import threading
 from collections import OrderedDict
@@ -120,7 +121,12 @@ class _SharedByteBudget:
         return self.clock
 
     def ensure(self, needed: int) -> None:
-        """Evict the globally oldest entries until ``needed`` fits."""
+        """Evict the globally oldest entries until ``needed`` fits.
+
+        Eviction drops the CACHE reference only: device arrays still
+        referenced by a caller stay alive (and uncounted) until that
+        reference dies — same semantics as the reference's pinned
+        cache entries (Cache.ipp:207-220)."""
         while self.used + needed > self.budget:
             oldest = None
             for p in self.pools:
@@ -128,7 +134,17 @@ class _SharedByteBudget:
                 if ts is not None and (oldest is None or ts < oldest[0]):
                     oldest = (ts, p)
             if oldest is None:
-                break  # nothing evictable; oversize entries may exceed
+                # Nothing evictable — a single entry larger than the
+                # whole budget.  Overshoot is unavoidable (the caller
+                # needs the array) but must be observable (advisor r3).
+                if needed > self.budget:
+                    logging.getLogger(__name__).warning(
+                        "_SharedByteBudget: single put of %d B exceeds "
+                        "the %d B device budget; overshooting",
+                        needed,
+                        self.budget,
+                    )
+                break
             oldest[1].evict_oldest()
 
 

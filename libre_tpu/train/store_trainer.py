@@ -180,9 +180,14 @@ def make_train_step(
         loss, grads = jax.value_and_grad(f)(params)
         if not problem.diff_tf:
             grads = dict(grads, tf=jnp.zeros_like(grads["tf"]))
+        # Coverage is a property of the INITIAL store (SENTINEL marks
+        # voxels no resident brick covers) — derive it from the
+        # pre-update values so a large update that pushes a covered
+        # voxel below the sentinel threshold cannot permanently convert
+        # it to uncovered (advisor r3).
+        covered = params["store"] > -0.5
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        covered = params["store"] > -0.5
         params = {
             "store": jnp.where(
                 covered, jnp.clip(params["store"], 0.0, 1.0), SENTINEL
