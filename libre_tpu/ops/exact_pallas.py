@@ -1,0 +1,794 @@
+"""Pallas exact perspective marcher — reference sampling at kernel speed.
+
+The general-camera "exact" path (ops/raycast.py, backing
+``RenderEngine.render``) reproduces the reference's per-sample semantics
+(fragRaycast.glsl:113-215) but leans on XLA:TPU's gather, which serializes
+(~90 M elem/s measured, benchmarks/probe_pallas_gather.py) — 0.009 Mrays/s
+at 64³/256²×512.  Mosaic lowers no arbitrary gather either ("Only 2D
+gather is supported"), so a fast exact marcher cannot fetch 8 trilinear
+corners per sample directly.  This kernel restructures the march so no
+arbitrary gather exists:
+
+* **Slab bucketing.**  Samples live on the reference's global arc-length
+  grid ``t_n = tnGlobal + n·step`` (fragRaycast.glsl:152-158).  Along the
+  host-chosen major axis, a sample's interpolation cell index
+  ``i0 = floor(clip(tex·N − ½, 0, N−1))`` is monotone in ``n`` for every
+  ray, so each ray's samples in cell (slab) ``k`` form a contiguous index
+  window.  The Pallas grid iterates slabs front-to-back (per direction
+  sign); the two bracketing volume slices stream HBM→VMEM via
+  scalar-prefetch BlockSpecs — the same streaming structure as the
+  bricked fast path, now carrying exact per-ray sampling.
+* **Gather-free trilinear.**  Within a slab, a sample needs a bilinear
+  fetch at an arbitrary in-plane position.  The B (lane) axis tap is a
+  2-tap one-hot interpolation matrix contracted on the MXU
+  ((2·Nc, Nb)·(Nb, 128) per 128-ray slot); the C (sublane) axis tap and
+  the axis lerp fold into one masked sublane reduction.  Only the
+  transfer-function lookup gathers — the lane-wise
+  ``take_along_axis`` form Mosaic supports (ops/shearwarp_bricked.py).
+* **Exact compositing.**  Slots composite serially per ray in global
+  sample order with the reference's early-exit rule (skip a sample iff
+  accumulated alpha before it exceeds the threshold), opacity
+  correction, and data-range normalization — bitwise the same update as
+  ops/reference.composite.  Saturated ray rows skip their slot loops;
+  a fully saturated ray block skips remaining slabs via an SMEM flag.
+
+Rays whose direction component along the chosen axis is too small (their
+per-slab sample window would exceed ``max_slots``) are excluded on the
+host and marched by the XLA fallback (ops/raycast.render_rays); mixed
+direction signs split into two kernel calls with opposite slab orders.
+For common perspective cameras both sets are empty/singular.
+
+Parity: == ops/reference.render_reference (atol ~2e-5, f32 matmul
+precision) for any brick whose march ``max_steps`` does not truncate the
+reference (the default sizing).  Supports carry-in/out, so multi-brick
+front-to-back marches compose exactly like ops/raycast.render_rays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from libre_tpu.ops import rays as ray_ops
+from libre_tpu.ops.reference import ALPHA_CLAMP, BrickSet, Camera, RenderParams
+
+TF_SIZE = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ------------------------------------------------------------------ planning
+@dataclasses.dataclass(frozen=True)
+class _Group:
+    """One homogeneous kernel invocation: rays sharing slab-axis sign."""
+
+    ray_idx: np.ndarray  # (Rg,) indices into the flat ray batch
+    sign: int  # +1: marching increases slab coord; -1 decreases
+    smax: int  # per-slab slot-window length (interior slabs)
+    extra: int  # additional slots for the edge bucket (k == 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExactPlan:
+    """Host-side static plan for one (camera × brick geometry) pair.
+
+    Everything per-ray is precomputed with the same jnp ops the
+    reference marcher uses and embedded as constants; the kernel's only
+    runtime operands are the volume and the transfer function.
+    """
+
+    axis: int  # world axis (0=x, 1=y, 2=z) used for slabs
+    b_axis: int
+    c_axis: int
+    groups: Tuple[_Group, ...]
+    fallback_idx: np.ndarray  # rays marched by ops/raycast
+    # Per-ray constants for the full flat batch (f32 numpy):
+    dirs: np.ndarray  # (R, 3)
+    eye: np.ndarray  # (3,)
+    tn_global: np.ndarray  # (R,)
+    n_start: np.ndarray  # (R,)
+    valid: np.ndarray  # (R,) {0, 1}
+    t_lo: np.ndarray  # (R,) max(brick t0, clip_lo): sample-ownership lo
+    t_hi: np.ndarray  # (R,) min(brick t1, clip_hi): sample-ownership hi
+    t_near_plane: np.ndarray  # (R,)
+    # Brick geometry (world (x, y, z) order):
+    world_min: np.ndarray
+    world_max: np.ndarray
+    tex_min: np.ndarray
+    tex_max: np.ndarray
+    brick_shape: Tuple[int, int, int]  # (Z, Y, X)
+    params: RenderParams
+    n_rays: int
+    viewport: Tuple[int, int, int, int]
+    clip_planes: Optional[np.ndarray] = None  # for the XLA fallback rays
+
+
+def _host_make_rays(camera: Camera):
+    """Per-ray constants via the SAME jnp ops the reference marcher
+    uses, fetched to host.  Parity requires bitwise-equal ray geometry:
+    the first in-box sample of every ray lies exactly ON the global-box
+    entry face (t = tnGlobal), so its half-open inside test is decided
+    by f32 rounding — constants from an independent numpy replica flip
+    those decisions (measured: ~1 entry sample per silhouette ray)."""
+    eye, dirs, cos_z, _ = ray_ops.make_rays(
+        camera.inv_proj, camera.inv_mv, camera.viewport, sample_index=0
+    )
+    return (
+        np.asarray(eye, np.float32),
+        np.asarray(dirs.reshape(-1, 3), np.float32),
+        np.asarray(cos_z.reshape(-1), np.float32),
+    )
+
+
+def _host_intersect_box(eye, dirs, bmin, bmax):
+    t0, t1, hit = ray_ops.intersect_box(
+        jnp.asarray(eye), jnp.asarray(dirs), jnp.asarray(bmin),
+        jnp.asarray(bmax)
+    )
+    return (
+        np.asarray(t0, np.float32),
+        np.asarray(t1, np.float32),
+        np.asarray(hit),
+    )
+
+
+def plan_exact(
+    camera: Camera,
+    params: RenderParams,
+    world_min,
+    world_max,
+    brick_shape: Tuple[int, int, int],
+    tex_min=(0.0, 0.0, 0.0),
+    tex_max=(1.0, 1.0, 1.0),
+    global_min=None,
+    global_max=None,
+    clip_planes: Optional[np.ndarray] = None,
+    axis: Optional[int] = None,
+    max_slots: int = 48,
+) -> ExactPlan:
+    """Build the static plan for one camera over one brick geometry.
+
+    ``global_min/max`` default to the brick box (single-brick case); for
+    multi-brick marches pass the global volume box so the sample grid is
+    shared across bricks (fragRaycast.glsl:152-158)."""
+    wmin = np.asarray(world_min, np.float32)
+    wmax = np.asarray(world_max, np.float32)
+    gmin = wmin if global_min is None else np.asarray(global_min, np.float32)
+    gmax = wmax if global_max is None else np.asarray(global_max, np.float32)
+    tmin = np.asarray(tex_min, np.float32)
+    tmax = np.asarray(tex_max, np.float32)
+
+    eye, dirs, cos_z = _host_make_rays(camera)
+    n_rays = dirs.shape[0]
+    t_near_plane = np.asarray(
+        ray_ops.near_plane_t(jnp.asarray(cos_z), camera.near), np.float32
+    )
+    tn_global, _, hit_global = _host_intersect_box(eye, dirs, gmin, gmax)
+    t0b, t1b, hit_brick = _host_intersect_box(eye, dirs, wmin, wmax)
+    valid = (hit_global & hit_brick).astype(np.float32)
+    n_start = np.asarray(
+        jnp.ceil(
+            jnp.maximum(jnp.asarray(t_near_plane - tn_global), 0.0)
+            / np.float32(params.step_size)
+        ),
+        np.float32,
+    )
+
+    if clip_planes is not None and len(clip_planes) > 0:
+        lo, hi = ray_ops.clip_ray(
+            jnp.asarray(eye),
+            jnp.asarray(dirs),
+            jnp.full(n_rays, -3e38, jnp.float32),
+            jnp.full(n_rays, 3e38, jnp.float32),
+            clip_planes,
+        )
+        clip_lo = np.asarray(lo, np.float32)
+        clip_hi = np.asarray(hi, np.float32)
+    else:
+        clip_lo = np.full(n_rays, -3e38, np.float32)
+        clip_hi = np.full(n_rays, 3e38, np.float32)
+
+    # Axis choice: maximize the worst |d_axis| over rays that can hit.
+    act = valid > 0
+    if axis is None:
+        if act.any():
+            worst = [np.min(np.abs(dirs[act, q])) for q in range(3)]
+        else:
+            worst = [abs(float(d)) for d in dirs.mean(axis=0)]
+        axis = int(np.argmax(worst))
+    rem = [q for q in range(3) if q != axis]
+    b_axis, c_axis = rem[0], rem[1]
+
+    # Per-ray slab-coordinate velocity (cells per sample step).
+    dim_a = brick_shape[2 - axis]
+    s_a = (tmax[axis] - tmin[axis]) / (wmax[axis] - wmin[axis])
+    q_cells = dirs[:, axis] * np.float32(params.step_size) * s_a * dim_a
+
+    groups: List[_Group] = []
+    fallback = np.zeros(n_rays, bool)
+    for sign in (1, -1):
+        sel = act & (np.sign(q_cells) == sign)
+        if not sel.any():
+            continue
+        qa = np.abs(q_cells[sel])
+        # Rays so oblique to the axis that their window would blow up
+        # go to the XLA fallback instead of inflating every slab.
+        qfloor = 1.0 / max(max_slots - 3, 1)
+        bad = qa < qfloor
+        if bad.any():
+            idx = np.where(sel)[0]
+            fallback[idx[bad]] = True
+            sel = sel & ~fallback
+            qa = np.abs(q_cells[sel])
+        if not sel.any():
+            continue
+        qmin = float(qa.min())
+        smax = int(math.ceil(1.0 / qmin)) + 3
+        extra = int(math.ceil(0.6 / qmin)) + 1
+        groups.append(
+            _Group(
+                ray_idx=np.where(sel)[0],
+                sign=sign,
+                smax=smax,
+                extra=extra,
+            )
+        )
+
+    return ExactPlan(
+        axis=axis,
+        b_axis=b_axis,
+        c_axis=c_axis,
+        groups=tuple(groups),
+        fallback_idx=np.where(fallback)[0],
+        dirs=dirs,
+        eye=eye,
+        tn_global=tn_global,
+        n_start=n_start,
+        valid=valid,
+        t_lo=np.maximum(t0b, clip_lo).astype(np.float32),
+        t_hi=np.minimum(t1b, clip_hi).astype(np.float32),
+        t_near_plane=t_near_plane,
+        world_min=wmin,
+        world_max=wmax,
+        tex_min=tmin,
+        tex_max=tmax,
+        brick_shape=tuple(int(s) for s in brick_shape),
+        params=params,
+        n_rays=n_rays,
+        viewport=camera.viewport,
+        clip_planes=None
+        if clip_planes is None
+        else np.asarray(clip_planes, np.float32),
+    )
+
+
+# ------------------------------------------------------------------- kernel
+def _make_exact_kernel(
+    *,
+    na: int,
+    nb: int,
+    nc: int,
+    nb_pad: int,
+    nc_pad: int,
+    rrb: int,
+    smax: int,
+    extra: int,
+    step: float,
+    mult: float,
+    add: float,
+    e_abc: Tuple[float, float, float],
+    wmin_abc: Tuple[float, float, float],
+    wmax_abc: Tuple[float, float, float],
+    mad_s: Tuple[float, float, float],  # world→tex scale per (a, b, c)
+    mad_o: Tuple[float, float, float],  # world→tex offset per (a, b, c)
+    alpha_correction: float,
+    early_exit: float,
+    trilinear: bool,
+    sign: int,
+):
+    """Kernel body factory; all geometry is compile-time static.
+
+    Ray-pack rows: 0 d_a, 1 d_b, 2 d_c, 3 tn_global, 4 n_start,
+    5 valid, 6 clip_lo, 7 clip_hi.
+    """
+    e_a, e_b, e_c = e_abc
+    wmin_a, wmin_b, wmin_c = wmin_abc
+    wmax_a, wmax_b, wmax_c = wmax_abc
+    s_a, s_b, s_c = mad_s
+    o_a, o_b, o_c = mad_o
+    two_ncp = 2 * nc_pad
+    qfloor = np.float32(1e-12)
+
+    def kernel(
+        idx0_ref,  # (A,) i32 scalar prefetch: slab index at grid step j
+        idx1_ref,  # (A,) i32: hi-slice index (min(k+1, na-1))
+        lo_ref,  # (1, nc_pad, nb_pad) slice k
+        hi_ref,  # (1, nc_pad, nb_pad) slice min(k+1, na-1)
+        tf_ref,  # (8, 128) TF half-tables [2·ch + half]
+        ray_ref,  # (8, rrb, 128) per-ray constants
+        cin_ref,  # (4, rrb, 128) carry-in rgba
+        out_ref,  # (4, rrb, 128) carry-out rgba
+        vcat_ref,  # scratch (2·nc_pad, nb_pad)
+        done_ref,  # SMEM (1,) i32: this ray block fully saturated
+        any_ref,  # SMEM (1,) i32: any row still active this slab
+    ):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = cin_ref[:]
+            done_ref[0] = 0
+
+        @pl.when(done_ref[0] == 0)
+        def _():
+            k = idx0_ref[j]
+            k_f = k.astype(jnp.float32)
+            any_ref[0] = 0
+            # Axis-lerp slice pair, concatenated on sublanes once per slab.
+            vcat_ref[:nc_pad, :] = lo_ref[0]
+            vcat_ref[nc_pad:, :] = hi_ref[0]
+
+            # Slot window: interior slabs span 1 cell; the k == 0 bucket
+            # also absorbs the half-open entry band (tex·N − ½ ∈ [−½, 0)),
+            # extent 1.5 cells (see module docstring).
+            n_slots = jnp.where(k == 0, smax + extra, smax)
+
+            rows_b = jax.lax.broadcasted_iota(
+                jnp.int32, (nb_pad, 128), 0
+            ).astype(jnp.float32)
+            rows_2c = jax.lax.broadcasted_iota(
+                jnp.int32, (two_ncp, 128), 0
+            )
+            cr = jnp.where(rows_2c >= nc_pad, rows_2c - nc_pad, rows_2c).astype(
+                jnp.float32
+            )
+            is_lo = (rows_2c < nc_pad).astype(jnp.float32)
+
+            def row_body(i, _):
+                d_a = ray_ref[0, pl.ds(i, 1), :]
+                d_b = ray_ref[1, pl.ds(i, 1), :]
+                d_c = ray_ref[2, pl.ds(i, 1), :]
+                tn = ray_ref[3, pl.ds(i, 1), :]
+                nstart = ray_ref[4, pl.ds(i, 1), :]
+                validf = ray_ref[5, pl.ds(i, 1), :]
+                cl_lo = ray_ref[6, pl.ds(i, 1), :]
+                cl_hi = ray_ref[7, pl.ds(i, 1), :]
+
+                r0 = out_ref[0, pl.ds(i, 1), :]
+                g0 = out_ref[1, pl.ds(i, 1), :]
+                b0 = out_ref[2, pl.ds(i, 1), :]
+                a0 = out_ref[3, pl.ds(i, 1), :]
+
+                row_live = (
+                    jnp.max(validf * (a0 <= early_exit).astype(jnp.float32))
+                    > 0.0
+                )
+
+                @pl.when(row_live)
+                def _():
+                    any_ref[0] = 1
+
+                # First candidate sample of this ray in slab k (1-slot
+                # guard for float rounding; membership re-tested exactly).
+                q = d_a * np.float32(step * s_a * dim_a_f)
+                q = jnp.where(jnp.abs(q) < qfloor, 1.0, q)
+                p0 = ((e_a + d_a * tn) * s_a + o_a) * dim_a_f - 0.5
+                if trilinear:
+                    if sign > 0:
+                        bound = jnp.where(k == 0, jnp.float32(-0.6), k_f)
+                    else:
+                        bound = k_f + 1.0
+                else:
+                    bound = k_f if sign > 0 else k_f + 1.0
+                nf0 = jnp.ceil((bound - p0) / q) - 1.0
+
+                def slot_body(s, carry):
+                    r, g, b, a = carry
+                    n = nf0 + s.astype(jnp.float32)
+                    t = tn + n * np.float32(step)
+                    pa = e_a + d_a * t
+                    pb = e_b + d_b * t
+                    pc = e_c + d_c * t
+                    tex_a = pa * s_a + o_a
+                    tex_b = pb * s_b + o_b
+                    tex_c = pc * s_c + o_c
+                    if trilinear:
+                        sa = jnp.clip(
+                            tex_a * dim_a_f - 0.5, 0.0, dim_a_f - 1.0
+                        )
+                        i0a = jnp.floor(sa)
+                        wa = sa - i0a
+                        sb_ = jnp.clip(
+                            tex_b * dim_b_f - 0.5, 0.0, dim_b_f - 1.0
+                        )
+                        i0b = jnp.floor(sb_)
+                        wb = sb_ - i0b
+                        i1b = jnp.minimum(i0b + 1.0, dim_b_f - 1.0)
+                        sc_ = jnp.clip(
+                            tex_c * dim_c_f - 0.5, 0.0, dim_c_f - 1.0
+                        )
+                        i0c = jnp.floor(sc_)
+                        wc = sc_ - i0c
+                        i1c = jnp.minimum(i0c + 1.0, dim_c_f - 1.0)
+                        w_b = (rows_b == i0b) * (1.0 - wb) + (
+                            rows_b == i1b
+                        ) * wb
+                        f_az = jnp.where(is_lo > 0.0, 1.0 - wa, wa)
+                        w_c = (
+                            (cr == i0c) * (1.0 - wc) + (cr == i1c) * wc
+                        ) * f_az
+                    else:
+                        i0a = jnp.floor(
+                            jnp.clip(tex_a * dim_a_f, 0.0, dim_a_f - 1.0)
+                        )
+                        ib = jnp.floor(
+                            jnp.clip(tex_b * dim_b_f, 0.0, dim_b_f - 1.0)
+                        )
+                        ic = jnp.floor(
+                            jnp.clip(tex_c * dim_c_f, 0.0, dim_c_f - 1.0)
+                        )
+                        w_b = (rows_b == ib).astype(jnp.float32)
+                        w_c = (cr == ic) * is_lo
+                    # Sample ownership: slab-interval test folded with
+                    # the clip interval on the host (cl_lo = max(t0,
+                    # clip_lo), cl_hi = min(t1, clip_hi)) — identical
+                    # booleans to the reference's conjunction.
+                    member = (i0a == k_f).astype(jnp.float32)
+                    m = (
+                        validf
+                        * member
+                        * (n >= nstart).astype(jnp.float32)
+                        * ((t > cl_lo) & (t <= cl_hi)).astype(jnp.float32)
+                    )
+
+                    bcat = jax.lax.dot_general(
+                        vcat_ref[:],
+                        w_b,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (2·nc_pad, 128)
+                    raw = jnp.sum(w_c * bcat, axis=0, keepdims=True)
+                    density = jnp.clip(
+                        raw * np.float32(mult) + np.float32(add), 0.0, 1.0
+                    )
+
+                    # Linear TF lookup, two 128-entry half tables.
+                    s_tf = jnp.clip(density, 0.0, 1.0) * TF_SIZE - 0.5
+                    s_tf = jnp.clip(s_tf, 0.0, float(TF_SIZE - 1))
+                    it0 = jnp.floor(s_tf).astype(jnp.int32)
+                    wt = s_tf - jnp.floor(s_tf)
+                    it1 = jnp.minimum(it0 + 1, TF_SIZE - 1)
+                    # Mosaic's dynamic_gather needs ≥ 8 sublane rows:
+                    # ONE (8, 128) gather per tap fetches all four
+                    # channels' half-tables at the sample's index row.
+                    taps = []
+                    for idx in (it0, it1):
+                        hi_bit = idx >= 128
+                        lo7 = jnp.where(hi_bit, idx - 128, idx)
+                        g8 = jnp.take_along_axis(
+                            tf_ref[:], jnp.broadcast_to(lo7, (8, 128)),
+                            axis=1,
+                        )
+                        taps.append((hi_bit, g8))
+                    chans = []
+                    for ch in range(4):
+                        acc = 0.0
+                        for (hi_bit, g8), wtt in zip(
+                            taps, (1.0 - wt, wt)
+                        ):
+                            acc = acc + (
+                                jnp.where(
+                                    hi_bit,
+                                    g8[2 * ch + 1 : 2 * ch + 2],
+                                    g8[2 * ch : 2 * ch + 1],
+                                )
+                                * wtt
+                            )
+                        chans.append(acc)
+
+                    alpha = 1.0 - jnp.power(
+                        1.0 - jnp.minimum(chans[3], ALPHA_CLAMP),
+                        np.float32(alpha_correction),
+                    )
+                    m_exit = (a <= early_exit).astype(jnp.float32)
+                    a_eff = alpha * m * m_exit
+                    one_minus = 1.0 - a
+                    r = r + chans[0] * a_eff * one_minus
+                    g = g + chans[1] * a_eff * one_minus
+                    b = b + chans[2] * a_eff * one_minus
+                    a = a + a_eff * one_minus
+                    return r, g, b, a
+
+                slots_eff = jnp.where(row_live, n_slots, 0)
+                r1, g1, b1, a1 = jax.lax.fori_loop(
+                    0, slots_eff, slot_body, (r0, g0, b0, a0)
+                )
+                out_ref[0, pl.ds(i, 1), :] = r1
+                out_ref[1, pl.ds(i, 1), :] = g1
+                out_ref[2, pl.ds(i, 1), :] = b1
+                out_ref[3, pl.ds(i, 1), :] = a1
+                return 0
+
+            jax.lax.fori_loop(0, rrb, row_body, 0)
+
+            @pl.when(any_ref[0] == 0)
+            def _():
+                done_ref[0] = 1
+
+    dim_a_f = np.float32(na)
+    dim_b_f = np.float32(nb)
+    dim_c_f = np.float32(nc)
+    return kernel
+
+
+def _march_group(
+    vol_perm: jnp.ndarray,  # (A, nc_pad, nb_pad) axis-permuted padded volume
+    tfmat: jnp.ndarray,  # (8, 128)
+    ray_pack: jnp.ndarray,  # (8, RR, 128)
+    carry_in: jnp.ndarray,  # (4, RR, 128)
+    *,
+    plan: ExactPlan,
+    group: _Group,
+    nb: int,
+    nc: int,
+    rrb: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    na, nc_pad, nb_pad = vol_perm.shape
+    rr = ray_pack.shape[1]
+    rb = rr // rrb
+    a, bx, c = plan.axis, plan.b_axis, plan.c_axis
+    p = plan.params
+
+    order = np.arange(na, dtype=np.int32)
+    if group.sign < 0:
+        order = order[::-1].copy()
+    idx1 = np.minimum(order + 1, na - 1).astype(np.int32)
+
+    lo_, hi_ = p.data_source_range
+    kernel = _make_exact_kernel(
+        na=na,
+        nb=nb,
+        nc=nc,
+        nb_pad=nb_pad,
+        nc_pad=nc_pad,
+        rrb=rrb,
+        smax=group.smax,
+        extra=group.extra,
+        step=p.step_size,
+        mult=1.0 / (hi_ - lo_),
+        add=-lo_ / (hi_ - lo_),
+        e_abc=tuple(float(plan.eye[q]) for q in (a, bx, c)),
+        wmin_abc=tuple(float(plan.world_min[q]) for q in (a, bx, c)),
+        wmax_abc=tuple(float(plan.world_max[q]) for q in (a, bx, c)),
+        mad_s=tuple(
+            float(
+                (plan.tex_max[q] - plan.tex_min[q])
+                / (plan.world_max[q] - plan.world_min[q])
+            )
+            for q in (a, bx, c)
+        ),
+        mad_o=tuple(
+            float(
+                plan.tex_min[q]
+                - plan.world_min[q]
+                * (plan.tex_max[q] - plan.tex_min[q])
+                / (plan.world_max[q] - plan.world_min[q])
+            )
+            for q in (a, bx, c)
+        ),
+        alpha_correction=p.alpha_correction,
+        early_exit=p.early_exit,
+        trilinear=p.filter_mode == "trilinear",
+        sign=group.sign,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(rb, na),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nc_pad, nb_pad), lambda rbi, j, i0, i1: (i0[j], 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, nc_pad, nb_pad), lambda rbi, j, i0, i1: (i1[j], 0, 0)
+            ),
+            pl.BlockSpec((8, 128), lambda rbi, j, i0, i1: (0, 0)),
+            pl.BlockSpec((8, rrb, 128), lambda rbi, j, i0, i1: (0, rbi, 0)),
+            pl.BlockSpec((4, rrb, 128), lambda rbi, j, i0, i1: (0, rbi, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, rrb, 128), lambda rbi, j, i0, i1: (0, rbi, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * nc_pad, nb_pad), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, rr, 128), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(order), jnp.asarray(idx1), vol_perm, vol_perm, tfmat,
+      ray_pack, carry_in)
+
+
+def permute_volume(brick_zyx: jnp.ndarray, plan: ExactPlan) -> jnp.ndarray:
+    """(Z, Y, X) brick → (A, nc_pad, nb_pad) padded slab stack for
+    ``plan.axis`` (cacheable per (brick, axis))."""
+    a, b, c = plan.axis, plan.b_axis, plan.c_axis
+    pv = jnp.transpose(brick_zyx.astype(jnp.float32), (2 - a, 2 - c, 2 - b))
+    na, nc, nb = pv.shape
+    return jnp.pad(
+        pv, ((0, 0), (0, _round_up(nc, 8) - nc), (0, _round_up(nb, 128) - nb))
+    )
+
+
+def tf_halves(tf: jnp.ndarray) -> jnp.ndarray:
+    """(256, 4) TF → (8, 128) half-table matrix, rows [2·ch + half]."""
+    t = tf.astype(jnp.float32)
+    rows = [t[h * 128:(h + 1) * 128, ch] for ch in range(4) for h in (0, 1)]
+    return jnp.stack(rows)
+
+
+def _pack_rays(plan: ExactPlan, idx: np.ndarray, rrb: int):
+    """Gather per-ray constants for ``idx`` into the (8, RR, 128) pack
+    (lane-padded with valid = 0 rays)."""
+    rg = len(idx)
+    rr = _round_up(max(rg, 1), 128 * rrb) // 128
+    pad = rr * 128 - rg
+
+    def f(x, fill=0.0):
+        v = np.concatenate(
+            [x[idx].astype(np.float32), np.full(pad, fill, np.float32)]
+        )
+        return v.reshape(rr, 128)
+
+    a, b, c = plan.axis, plan.b_axis, plan.c_axis
+    pack = np.stack(
+        [
+            f(plan.dirs[:, a], fill=1.0),  # avoid q = 0 on padding
+            f(plan.dirs[:, b]),
+            f(plan.dirs[:, c]),
+            f(plan.tn_global),
+            f(plan.n_start),
+            f(plan.valid),
+            f(plan.t_lo, fill=-3e38),
+            f(plan.t_hi, fill=3e38),
+        ]
+    )
+    return jnp.asarray(pack), rr
+
+
+def render_exact_rays(
+    volume_zyx: jnp.ndarray,
+    tf: jnp.ndarray,
+    plan: ExactPlan,
+    *,
+    init_carry: Optional[jnp.ndarray] = None,  # (R, 4)
+    vol_perm: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+    rrb: int = 64,
+) -> jnp.ndarray:
+    """March the full flat ray batch of ``plan`` → (R, 4) rgba.
+
+    Jit-friendly: ``volume_zyx`` and ``tf`` are the only runtime
+    operands (plus the optional carry); everything else is baked from
+    the plan.  Rays the kernel cannot serve (plan.fallback_idx) run
+    through ops/raycast.render_rays with identical semantics.
+    """
+    r_tot = plan.n_rays
+    out = (
+        jnp.zeros((r_tot, 4), jnp.float32)
+        if init_carry is None
+        else jnp.asarray(init_carry, jnp.float32)
+    )
+    if vol_perm is None:
+        vol_perm = permute_volume(volume_zyx, plan)
+    tfmat = tf_halves(tf)
+
+    for group in plan.groups:
+        pack, rr = _pack_rays(plan, group.ray_idx, rrb)
+        rrb_g = min(rrb, rr)
+        cin = out[group.ray_idx]  # (Rg, 4)
+        pad = rr * 128 - len(group.ray_idx)
+        cin = jnp.concatenate(
+            [cin, jnp.zeros((pad, 4), jnp.float32)]
+        ).reshape(rr, 128, 4)
+        cin = jnp.transpose(cin, (2, 0, 1))
+        res = _march_group(
+            vol_perm,
+            tfmat,
+            pack,
+            cin,
+            plan=plan,
+            group=group,
+            nb=plan.brick_shape[2 - plan.b_axis],
+            nc=plan.brick_shape[2 - plan.c_axis],
+            rrb=rrb_g,
+            interpret=interpret,
+        )  # (4, RR, 128)
+        res = jnp.transpose(res, (1, 2, 0)).reshape(rr * 128, 4)
+        out = out.at[group.ray_idx].set(res[: len(group.ray_idx)])
+
+    if len(plan.fallback_idx):
+        from libre_tpu.ops import raycast
+        from libre_tpu.ops.reference import single_brick_set
+
+        idx = plan.fallback_idx
+        bricks = single_brick_set(
+            volume_zyx,
+            world_min=tuple(plan.world_min),
+            world_max=tuple(plan.world_max),
+        )
+        fb_carry = out[idx]
+        max_steps = int(
+            math.ceil(
+                float(np.linalg.norm(plan.world_max - plan.world_min))
+                / plan.params.step_size
+            )
+        ) + 4
+        res = raycast.render_rays(
+            bricks,
+            tf,
+            jnp.asarray(plan.eye),
+            jnp.asarray(plan.dirs[idx]),
+            jnp.asarray(plan.t_near_plane[idx]),
+            plan.params,
+            plan.world_min,
+            plan.world_max,
+            clip_planes=plan.clip_planes,
+            max_steps=max_steps,
+            init_carry=(fb_carry[:, :3], fb_carry[:, 3]),
+        )
+        out = out.at[idx].set(res)
+    return out
+
+
+def render_exact(
+    volume_zyx: jnp.ndarray,
+    tf: jnp.ndarray,
+    camera: Camera,
+    params: RenderParams,
+    global_min=(-0.5, -0.5, -0.5),
+    global_max=(0.5, 0.5, 0.5),
+    clip_planes: Optional[np.ndarray] = None,
+    *,
+    axis: Optional[int] = None,
+    interpret: bool = False,
+    plan: Optional[ExactPlan] = None,
+) -> jnp.ndarray:
+    """Single-brick exact render → (H, W, 4), reference parity
+    (configs 1-2).  Build the plan once per camera via ``plan_exact``
+    and pass it to amortize host planning across frames."""
+    if plan is None:
+        plan = plan_exact(
+            camera,
+            params,
+            global_min,
+            global_max,
+            volume_zyx.shape,
+            clip_planes=clip_planes,
+            axis=axis,
+        )
+    vx, vy, vw, vh = plan.viewport
+    imgs = []
+    for _ in range(params.samples_per_pixel):
+        imgs.append(
+            render_exact_rays(volume_zyx, tf, plan, interpret=interpret)
+        )
+    out = sum(imgs) / float(params.samples_per_pixel)
+    return out.reshape(vh, vw, 4)

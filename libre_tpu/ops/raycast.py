@@ -218,15 +218,13 @@ def _march_brick(
         px = ex + dx[:, None] * t
         py = ey + dy[:, None] * t
         pz = ez + dz[:, None] * t
-        inside = (
-            (px >= wminx) & (px < wmaxx)
-            & (py >= wminy) & (py < wmaxy)
-            & (pz >= wminz) & (pz < wmaxz)
-        )
+        # Slab-interval membership (see reference._march_one_brick):
+        # half-open (t0, t1] owns each sample deterministically.
+        inside = (t > t0[:, None]) & (t <= t1[:, None])
         m = valid_ray[:, None] & inside & (n >= n_start[:, None])
         if clip_bounds is not None:
             t_clip_lo, t_clip_hi = clip_bounds
-            m = m & (t >= t_clip_lo[:, None]) & (t < t_clip_hi[:, None])
+            m = m & (t > t_clip_lo[:, None]) & (t <= t_clip_hi[:, None])
         tex_x = px * sx + ox
         tex_y = py * sy + oy
         tex_z = pz * sz + oz

@@ -238,13 +238,24 @@ def _march_one_brick(
         # (fragRaycast.glsl:115-117, 208-209).
         m = valid & (n >= n_start) & (a <= params.early_exit)
         if t_clip_lo is not None:
-            m = m & (t >= t_clip_lo) & (t < t_clip_hi)
+            m = m & (t > t_clip_lo) & (t <= t_clip_hi)
         pos = eye + dirs * t[..., None]
-        # Half-open geometric membership: each grid sample belongs to
-        # exactly ONE brick even under float rounding of the per-brick
-        # slab intervals (bricks share exact face values).
-        inside = jnp.all((pos >= wmin) & (pos < wmax), axis=-1)
-        m = m & inside
+        # Half-open membership via the ray's slab interval: sample n is
+        # owned by this brick iff t_n ∈ (t0, t1].  Equivalent to the
+        # geometric pos-in-box test, but decided by per-ray SCALARS:
+        # adjacent bricks share exact face values, so their intervals
+        # tile (t0_A, t1_A] ∪ (t0_B, t1_B] without float knife edges — a
+        # recomputed-position test flips boundary samples on sub-ulp
+        # rounding that varies with compiler fusion (r4: measured vs the
+        # Pallas exact marcher).  Open on the LOW side because the first
+        # global sample lies exactly ON the entry face (t = tnGlobal):
+        # its nearest-filter fetch coordinate would sit exactly on a
+        # voxel boundary, ambiguous by one voxel between equivalent
+        # arithmetic — excluding it deterministically keeps every
+        # composited fetch off the maximal knife edge.  Clip intervals
+        # use the same convention so conjunctions of intervals stay
+        # interval tests.
+        m = m & (t > t0) & (t <= t1)
         u = (pos - wmin) / (wmax - wmin)
         tex_pos = u * tex_scale + tmin
         raw = sample_density(brick, tex_pos, params.filter_mode)

@@ -66,9 +66,17 @@ def shard_bricks_front_to_back(
     new_wmin = take(wmin)
     new_wmax = take(wmax)
     if n_pad:
-        # Degenerate boxes: min > max ⇒ slab test misses, march is a no-op.
-        pad_min = jnp.ones((n_pad, 3), jnp.float32)
-        pad_max = jnp.zeros((n_pad, 3), jnp.float32)
+        # Degenerate boxes: a unit box FAR outside the scene.  Its slab
+        # interval starts at t ~ 1e8, beyond any sample's t (≤ a few
+        # world units), so interval-based sample ownership
+        # (reference._march_one_brick) can never claim a sample — and
+        # the box has nonzero extent so the world→texture MAD stays
+        # finite.  (An inverted min>max box does NOT work: the slab
+        # test min/max-normalizes it into a real box.)
+        pad_min = jnp.broadcast_to(
+            jnp.asarray([1e8, 2e8, 3e8], jnp.float32), (n_pad, 3)
+        )
+        pad_max = pad_min + 1e7  # extent must survive f32 at 1e8 scale
         new_wmin = jnp.concatenate([new_wmin[:n], pad_min])
         new_wmax = jnp.concatenate([new_wmax[:n], pad_max])
     out = BrickSet(

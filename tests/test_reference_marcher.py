@@ -104,7 +104,8 @@ def scalar_march(volume, tf, px, py, params):
         if a > f(params.early_exit):
             break
         pos = (eye + d * t).astype(f)
-        if not np.all((pos >= GLOBAL_MIN) & (pos < GLOBAL_MAX)):
+        # Slab-interval sample ownership (reference._march_one_brick).
+        if not (t > t0 and t <= t1):
             if t > t1 + 2 * step:
                 break
             continue
