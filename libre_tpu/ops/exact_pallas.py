@@ -76,6 +76,7 @@ class _Group:
     sign: int  # +1: marching increases slab coord; -1 decreases
     smax: int  # per-slab slot-window length (interior slabs)
     extra: int  # additional slots for the edge bucket (k == 0)
+    w_c: int  # c-window height covering any 128-ray row's slab crossing
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +143,53 @@ def _host_intersect_box(eye, dirs, bmin, bmax):
     )
 
 
+
+def _c_window_bound(
+    idx, sign, smax, extra, *, dirs, tn, valid,
+    e_a, e_c, s_a, o_a, s_c, o_c, na, nc, step, a_axis, c_axis,
+) -> int:
+    """Smallest safe c-window height for a group: the max, over every
+    packed 128-ray row and every slab, of the row's c-coordinate spread
+    across one slot window (float64, conservative +4 margin for the
+    second tap and f32 slack; rounded up to a sublane multiple)."""
+    r = len(idx)
+    rr = _round_up(max(r, 1), 128) // 128
+    pad = rr * 128 - r
+
+    def f(x, fill):
+        return np.concatenate(
+            [np.asarray(x, np.float64)[idx], np.full(pad, fill)]
+        ).reshape(rr, 128)
+
+    da = f(dirs[:, a_axis], 1.0)
+    dc = f(dirs[:, c_axis], 0.0)
+    tnp_ = f(tn, 0.0)
+    v = f(valid, 0.0) > 0
+    qa = da * step * s_a * na
+    qa = np.where(np.abs(qa) < 1e-12, 1.0, qa)
+    pa = ((e_a + da * tnp_) * s_a + o_a) * na - 0.5
+    qc = dc * step * s_c * nc
+    pc = ((e_c + dc * tnp_) * s_c + o_c) * nc - 0.5
+    w = 0.0
+    for k in range(na):
+        if sign > 0:
+            bound = -0.6 if k == 0 else float(k)
+        else:
+            bound = float(k + 1)
+        nlo = np.ceil((bound - pa) / qa) - 1.0
+        slots = smax + (extra if k == 0 else 0)
+        c0 = pc + qc * nlo
+        c1 = pc + qc * (nlo + slots)
+        cmin = np.where(v, np.clip(np.minimum(c0, c1), 0, nc - 1), np.inf)
+        cmax = np.where(v, np.clip(np.maximum(c0, c1), 0, nc - 1), -np.inf)
+        row_min = cmin.min(axis=1)
+        row_max = cmax.max(axis=1)
+        spread = np.where(np.isfinite(row_min), row_max - row_min, 0.0)
+        if spread.size:
+            w = max(w, float(spread.max()))
+    return max(_round_up(int(np.ceil(w)) + 4, 8), 8)
+
+
 def plan_exact(
     camera: Camera,
     params: RenderParams,
@@ -161,6 +209,12 @@ def plan_exact(
     ``global_min/max`` default to the brick box (single-brick case); for
     multi-brick marches pass the global volume box so the sample grid is
     shared across bricks (fragRaycast.glsl:152-158)."""
+    if isinstance(jnp.zeros(()) + 0, jax.core.Tracer):
+        raise RuntimeError(
+            "plan_exact must run OUTSIDE jit (it embeds per-ray "
+            "constants); build the plan once per camera and pass "
+            "plan= to render_exact"
+        )
     wmin = np.asarray(world_min, np.float32)
     wmax = np.asarray(world_max, np.float32)
     gmin = wmin if global_min is None else np.asarray(global_min, np.float32)
@@ -235,12 +289,40 @@ def plan_exact(
         qmin = float(qa.min())
         smax = int(math.ceil(1.0 / qmin)) + 3
         extra = int(math.ceil(0.6 / qmin)) + 1
+        gidx = np.where(sel)[0]
+        w_c = _c_window_bound(
+            gidx, sign, smax, extra,
+            dirs=dirs, tn=tn_global, valid=valid,
+            e_a=float(eye[axis]), e_c=float(eye[c_axis]),
+            s_a=float((tmax[axis] - tmin[axis]) / (wmax[axis] - wmin[axis])),
+            o_a=float(
+                tmin[axis]
+                - wmin[axis]
+                * (tmax[axis] - tmin[axis])
+                / (wmax[axis] - wmin[axis])
+            ),
+            s_c=float(
+                (tmax[c_axis] - tmin[c_axis]) / (wmax[c_axis] - wmin[c_axis])
+            ),
+            o_c=float(
+                tmin[c_axis]
+                - wmin[c_axis]
+                * (tmax[c_axis] - tmin[c_axis])
+                / (wmax[c_axis] - wmin[c_axis])
+            ),
+            na=brick_shape[2 - axis],
+            nc=brick_shape[2 - c_axis],
+            step=float(params.step_size),
+            a_axis=axis,
+            c_axis=c_axis,
+        )
         groups.append(
             _Group(
-                ray_idx=np.where(sel)[0],
+                ray_idx=gidx,
                 sign=sign,
                 smax=smax,
                 extra=extra,
+                w_c=w_c,
             )
         )
 
@@ -283,14 +365,13 @@ def _make_exact_kernel(
     rrb: int,
     smax: int,
     extra: int,
+    w_c: int,
     step: float,
     mult: float,
     add: float,
     e_abc: Tuple[float, float, float],
-    wmin_abc: Tuple[float, float, float],
-    wmax_abc: Tuple[float, float, float],
-    mad_s: Tuple[float, float, float],  # world→tex scale per (a, b, c)
-    mad_o: Tuple[float, float, float],  # world→tex offset per (a, b, c)
+    mad_s: Tuple[float, float, float],  # world -> tex scale per (a, b, c)
+    mad_o: Tuple[float, float, float],  # world -> tex offset per (a, b, c)
     alpha_correction: float,
     early_exit: float,
     trilinear: bool,
@@ -299,26 +380,40 @@ def _make_exact_kernel(
     """Kernel body factory; all geometry is compile-time static.
 
     Ray-pack rows: 0 d_a, 1 d_b, 2 d_c, 3 tn_global, 4 n_start,
-    5 valid, 6 clip_lo, 7 clip_hi.
+    5 valid, 6 t_lo, 7 t_hi.
+
+    Structure per (slab, ray row): slot position math is computed for
+    all ``smax + extra`` candidate samples at once ((S, 128) VPU
+    blocks), then a fori loop composites serially per slot.  The
+    trilinear fetch is gather-based: the two b-axis taps are lane-wise
+    ``take_along_axis`` over a (2·Wc, 128) c-WINDOW of the slice pair —
+    within one 128-ray row, a slab crossing touches only a narrow
+    c-band (host-verified bound ``w_c``), so the c-tap mask-reduce runs
+    on Wc rows instead of the full slice height.  No arbitrary gather
+    and no one-hot matmul anywhere.
     """
     e_a, e_b, e_c = e_abc
-    wmin_a, wmin_b, wmin_c = wmin_abc
-    wmax_a, wmax_b, wmax_c = wmax_abc
     s_a, s_b, s_c = mad_s
     o_a, o_b, o_c = mad_o
-    two_ncp = 2 * nc_pad
+    s_tot = smax + extra
+    dim_a_f = np.float32(na)
+    dim_b_f = np.float32(nb)
+    dim_c_f = np.float32(nc)
     qfloor = np.float32(1e-12)
+    w_c = min(w_c, nc_pad)
+    two_w = 2 * w_c
 
     def kernel(
         idx0_ref,  # (A,) i32 scalar prefetch: slab index at grid step j
         idx1_ref,  # (A,) i32: hi-slice index (min(k+1, na-1))
         lo_ref,  # (1, nc_pad, nb_pad) slice k
         hi_ref,  # (1, nc_pad, nb_pad) slice min(k+1, na-1)
-        tf_ref,  # (8, 128) TF half-tables [2·ch + half]
+        tf_ref,  # (8, 128) TF half-tables [2*ch + half]
         ray_ref,  # (8, rrb, 128) per-ray constants
         cin_ref,  # (4, rrb, 128) carry-in rgba
         out_ref,  # (4, rrb, 128) carry-out rgba
-        vcat_ref,  # scratch (2·nc_pad, nb_pad)
+        vcat_ref,  # scratch (2*nc_pad, nb_pad) slice pair
+        dens_ref,  # scratch (s_tot, 128) per-slot raw densities
         done_ref,  # SMEM (1,) i32: this ray block fully saturated
         any_ref,  # SMEM (1,) i32: any row still active this slab
     ):
@@ -334,25 +429,16 @@ def _make_exact_kernel(
             k = idx0_ref[j]
             k_f = k.astype(jnp.float32)
             any_ref[0] = 0
-            # Axis-lerp slice pair, concatenated on sublanes once per slab.
             vcat_ref[:nc_pad, :] = lo_ref[0]
             vcat_ref[nc_pad:, :] = hi_ref[0]
 
-            # Slot window: interior slabs span 1 cell; the k == 0 bucket
-            # also absorbs the half-open entry band (tex·N − ½ ∈ [−½, 0)),
-            # extent 1.5 cells (see module docstring).
-            n_slots = jnp.where(k == 0, smax + extra, smax)
-
-            rows_b = jax.lax.broadcasted_iota(
-                jnp.int32, (nb_pad, 128), 0
+            rows_s = jax.lax.broadcasted_iota(
+                jnp.int32, (s_tot, 128), 0
             ).astype(jnp.float32)
-            rows_2c = jax.lax.broadcasted_iota(
-                jnp.int32, (two_ncp, 128), 0
-            )
-            cr = jnp.where(rows_2c >= nc_pad, rows_2c - nc_pad, rows_2c).astype(
-                jnp.float32
-            )
-            is_lo = (rows_2c < nc_pad).astype(jnp.float32)
+            # Window-relative c rows, [0..Wc) twice (lo half, hi half).
+            cr2 = jax.lax.broadcasted_iota(jnp.int32, (two_w, 128), 0)
+            is_lo2 = (cr2 < w_c).astype(jnp.float32)
+            crf2 = jnp.where(cr2 >= w_c, cr2 - w_c, cr2).astype(jnp.float32)
 
             def row_body(i, _):
                 d_a = ray_ref[0, pl.ds(i, 1), :]
@@ -364,11 +450,7 @@ def _make_exact_kernel(
                 cl_lo = ray_ref[6, pl.ds(i, 1), :]
                 cl_hi = ray_ref[7, pl.ds(i, 1), :]
 
-                r0 = out_ref[0, pl.ds(i, 1), :]
-                g0 = out_ref[1, pl.ds(i, 1), :]
-                b0 = out_ref[2, pl.ds(i, 1), :]
                 a0 = out_ref[3, pl.ds(i, 1), :]
-
                 row_live = (
                     jnp.max(validf * (a0 <= early_exit).astype(jnp.float32))
                     > 0.0
@@ -378,24 +460,32 @@ def _make_exact_kernel(
                 def _():
                     any_ref[0] = 1
 
-                # First candidate sample of this ray in slab k (1-slot
-                # guard for float rounding; membership re-tested exactly).
-                q = d_a * np.float32(step * s_a * dim_a_f)
-                q = jnp.where(jnp.abs(q) < qfloor, 1.0, q)
-                p0 = ((e_a + d_a * tn) * s_a + o_a) * dim_a_f - 0.5
-                if trilinear:
-                    if sign > 0:
-                        bound = jnp.where(k == 0, jnp.float32(-0.6), k_f)
-                    else:
-                        bound = k_f + 1.0
-                else:
-                    bound = k_f if sign > 0 else k_f + 1.0
-                nf0 = jnp.ceil((bound - p0) / q) - 1.0
+                @pl.when(row_live)
+                def _():
+                    r0 = out_ref[0, pl.ds(i, 1), :]
+                    g0 = out_ref[1, pl.ds(i, 1), :]
+                    b0 = out_ref[2, pl.ds(i, 1), :]
 
-                def slot_body(s, carry):
-                    r, g, b, a = carry
-                    n = nf0 + s.astype(jnp.float32)
-                    t = tn + n * np.float32(step)
+                    # First candidate sample of each ray in slab k (1-slot
+                    # guard for float rounding; membership re-tested
+                    # exactly per slot).
+                    q = d_a * np.float32(step * s_a) * dim_a_f
+                    q = jnp.where(jnp.abs(q) < qfloor, 1.0, q)
+                    p0 = ((e_a + d_a * tn) * s_a + o_a) * dim_a_f - 0.5
+                    if trilinear:
+                        if sign > 0:
+                            bound = jnp.where(
+                                k == 0, jnp.float32(-0.6), k_f
+                            )
+                        else:
+                            bound = k_f + 1.0
+                    else:
+                        bound = k_f if sign > 0 else k_f + 1.0
+                    nf0 = jnp.ceil((bound - p0) / q) - 1.0  # (1, 128)
+
+                    # ---- batched slot position math: (s_tot, 128) ----
+                    n_mat = nf0 + rows_s
+                    t = tn + n_mat * np.float32(step)
                     pa = e_a + d_a * t
                     pb = e_b + d_b * t
                     pc = e_c + d_c * t
@@ -420,104 +510,174 @@ def _make_exact_kernel(
                         i0c = jnp.floor(sc_)
                         wc = sc_ - i0c
                         i1c = jnp.minimum(i0c + 1.0, dim_c_f - 1.0)
-                        w_b = (rows_b == i0b) * (1.0 - wb) + (
-                            rows_b == i1b
-                        ) * wb
-                        f_az = jnp.where(is_lo > 0.0, 1.0 - wa, wa)
-                        w_c = (
-                            (cr == i0c) * (1.0 - wc) + (cr == i1c) * wc
-                        ) * f_az
                     else:
                         i0a = jnp.floor(
                             jnp.clip(tex_a * dim_a_f, 0.0, dim_a_f - 1.0)
                         )
-                        ib = jnp.floor(
+                        wa = jnp.zeros_like(i0a)
+                        i0b = jnp.floor(
                             jnp.clip(tex_b * dim_b_f, 0.0, dim_b_f - 1.0)
                         )
-                        ic = jnp.floor(
+                        wb = jnp.zeros_like(i0b)
+                        i1b = i0b
+                        i0c = jnp.floor(
                             jnp.clip(tex_c * dim_c_f, 0.0, dim_c_f - 1.0)
                         )
-                        w_b = (rows_b == ib).astype(jnp.float32)
-                        w_c = (cr == ic) * is_lo
-                    # Sample ownership: slab-interval test folded with
-                    # the clip interval on the host (cl_lo = max(t0,
-                    # clip_lo), cl_hi = min(t1, clip_hi)) — identical
-                    # booleans to the reference's conjunction.
+                        wc = jnp.zeros_like(i0c)
+                        i1c = i0c
                     member = (i0a == k_f).astype(jnp.float32)
                     m = (
                         validf
                         * member
-                        * (n >= nstart).astype(jnp.float32)
+                        * (n_mat >= nstart).astype(jnp.float32)
                         * ((t > cl_lo) & (t <= cl_hi)).astype(jnp.float32)
                     )
+                    # Slots past ``smax`` exist only for the k == 0 edge
+                    # bucket; at other slabs their scratch rows hold
+                    # stale densities — zero their masks.
+                    if extra:
+                        edge = (k == 0).astype(jnp.float32)
+                        m = jnp.concatenate(
+                            [m[:smax], m[smax:] * edge], axis=0
+                        )
 
-                    bcat = jax.lax.dot_general(
-                        vcat_ref[:],
-                        w_b,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (2·nc_pad, 128)
-                    raw = jnp.sum(w_c * bcat, axis=0, keepdims=True)
-                    density = jnp.clip(
-                        raw * np.float32(mult) + np.float32(add), 0.0, 1.0
+                    # c-window base: host guarantees every owned sample's
+                    # c-taps fit in [c_base, c_base + Wc).
+                    c_masked = jnp.where(m > 0.0, i0c, dim_c_f)
+                    c_base_f = jnp.clip(
+                        jnp.min(c_masked), 0.0, float(max(nc_pad - w_c, 0))
                     )
+                    c_base = c_base_f.astype(jnp.int32)
+                    c0_rel = i0c - c_base_f
+                    c1_rel = i1c - c_base_f
+                    i0b_i = i0b.astype(jnp.int32)
+                    i1b_i = i1b.astype(jnp.int32)
 
-                    # Linear TF lookup, two 128-entry half tables.
+                    win = jnp.concatenate(
+                        [
+                            vcat_ref[pl.ds(c_base, w_c), :],
+                            vcat_ref[pl.ds(nc_pad + c_base, w_c), :],
+                        ],
+                        axis=0,
+                    )  # (2*Wc, nb_pad): lo half, hi half
+
+                    # ---- fetch: statically unrolled, one density row
+                    # per slot into scratch (edge slots only at k == 0).
+                    def fetch(s):
+                        b0i = jnp.broadcast_to(
+                            i0b_i[s : s + 1], (two_w, 128)
+                        )
+                        b1i = jnp.broadcast_to(
+                            i1b_i[s : s + 1], (two_w, 128)
+                        )
+                        v0 = jnp.take_along_axis(win, b0i, axis=1)
+                        v1 = jnp.take_along_axis(win, b1i, axis=1)
+                        bl = v0 * (1.0 - wb[s : s + 1]) + v1 * wb[s : s + 1]
+                        f_az = jnp.where(
+                            is_lo2 > 0.0, 1.0 - wa[s : s + 1], wa[s : s + 1]
+                        )
+                        maskc = (
+                            (crf2 == c0_rel[s : s + 1]) * (1.0 - wc[s : s + 1])
+                            + (crf2 == c1_rel[s : s + 1]) * wc[s : s + 1]
+                        ) * f_az
+                        dens_ref[s : s + 1, :] = jnp.sum(
+                            maskc * bl, axis=0, keepdims=True
+                        )
+
+                    for s in range(smax):
+                        fetch(s)
+                    if extra:
+
+                        @pl.when(k == 0)
+                        def _():
+                            for s in range(smax, s_tot):
+                                fetch(s)
+
+                    # Masked slots may hold stale (or, on the first
+                    # slab, uninitialized — possibly NaN) scratch rows;
+                    # zero them before the TF so alpha·m cannot become
+                    # NaN·0.
+                    density = jnp.clip(
+                        jnp.where(m > 0.0, dens_ref[:], 0.0)
+                        * np.float32(mult)
+                        + np.float32(add),
+                        0.0,
+                        1.0,
+                    )  # (s_tot, 128)
+
+                    # ---- batched linear TF lookup over all slots.
                     s_tf = jnp.clip(density, 0.0, 1.0) * TF_SIZE - 0.5
                     s_tf = jnp.clip(s_tf, 0.0, float(TF_SIZE - 1))
                     it0 = jnp.floor(s_tf).astype(jnp.int32)
                     wt = s_tf - jnp.floor(s_tf)
                     it1 = jnp.minimum(it0 + 1, TF_SIZE - 1)
-                    # Mosaic's dynamic_gather needs ≥ 8 sublane rows:
-                    # ONE (8, 128) gather per tap fetches all four
-                    # channels' half-tables at the sample's index row.
-                    taps = []
-                    for idx in (it0, it1):
+                    chans = [0.0, 0.0, 0.0, 0.0]
+                    for idx, wtt in ((it0, 1.0 - wt), (it1, wt)):
                         hi_bit = idx >= 128
                         lo7 = jnp.where(hi_bit, idx - 128, idx)
-                        g8 = jnp.take_along_axis(
-                            tf_ref[:], jnp.broadcast_to(lo7, (8, 128)),
-                            axis=1,
-                        )
-                        taps.append((hi_bit, g8))
-                    chans = []
-                    for ch in range(4):
-                        acc = 0.0
-                        for (hi_bit, g8), wtt in zip(
-                            taps, (1.0 - wt, wt)
-                        ):
-                            acc = acc + (
-                                jnp.where(
-                                    hi_bit,
-                                    g8[2 * ch + 1 : 2 * ch + 2],
-                                    g8[2 * ch : 2 * ch + 1],
-                                )
-                                * wtt
+                        for ch in range(4):
+                            g_lo = jnp.take_along_axis(
+                                jnp.broadcast_to(
+                                    tf_ref[2 * ch : 2 * ch + 1, :],
+                                    (s_tot, 128),
+                                ),
+                                lo7,
+                                axis=1,
                             )
-                        chans.append(acc)
+                            g_hi = jnp.take_along_axis(
+                                jnp.broadcast_to(
+                                    tf_ref[2 * ch + 1 : 2 * ch + 2, :],
+                                    (s_tot, 128),
+                                ),
+                                lo7,
+                                axis=1,
+                            )
+                            chans[ch] = chans[ch] + (
+                                jnp.where(hi_bit, g_hi, g_lo) * wtt
+                            )
 
+                    # ---- closed-form masked chunk composite with EXACT
+                    # early exit (raycast._composite_chunk: a sample is
+                    # excluded iff accumulated alpha before it exceeds
+                    # the threshold — computable from the unmasked
+                    # prefix transmittance because alpha is monotone).
                     alpha = 1.0 - jnp.power(
                         1.0 - jnp.minimum(chans[3], ALPHA_CLAMP),
                         np.float32(alpha_correction),
                     )
-                    m_exit = (a <= early_exit).astype(jnp.float32)
-                    a_eff = alpha * m * m_exit
-                    one_minus = 1.0 - a
-                    r = r + chans[0] * a_eff * one_minus
-                    g = g + chans[1] * a_eff * one_minus
-                    b = b + chans[2] * a_eff * one_minus
-                    a = a + a_eff * one_minus
-                    return r, g, b, a
+                    alpha_v = alpha * m  # (s_tot, 128)
+                    one_m = 1.0 - alpha_v
+                    # Exclusive cumprod along slots (serial row chain).
+                    rows_u = [jnp.ones((1, 128), jnp.float32)]
+                    for s in range(s_tot - 1):
+                        rows_u.append(rows_u[-1] * one_m[s : s + 1])
+                    t_excl_u = jnp.concatenate(rows_u, axis=0)
+                    global_before = a0 + (1.0 - a0) * (1.0 - t_excl_u)
+                    mex = (global_before <= early_exit).astype(jnp.float32)
+                    a_eff = alpha_v * mex
+                    one_e = 1.0 - a_eff
+                    rows_e = [jnp.ones((1, 128), jnp.float32)]
+                    for s in range(s_tot - 1):
+                        rows_e.append(rows_e[-1] * one_e[s : s + 1])
+                    t_excl = jnp.concatenate(rows_e, axis=0)
+                    w = a_eff * t_excl
+                    chunk_trans = t_excl[s_tot - 1 : s_tot] * one_e[
+                        s_tot - 1 : s_tot
+                    ]
+                    one_minus_a = 1.0 - a0
+                    out_ref[0, pl.ds(i, 1), :] = r0 + one_minus_a * jnp.sum(
+                        w * chans[0], axis=0, keepdims=True
+                    )
+                    out_ref[1, pl.ds(i, 1), :] = g0 + one_minus_a * jnp.sum(
+                        w * chans[1], axis=0, keepdims=True
+                    )
+                    out_ref[2, pl.ds(i, 1), :] = b0 + one_minus_a * jnp.sum(
+                        w * chans[2], axis=0, keepdims=True
+                    )
+                    out_ref[3, pl.ds(i, 1), :] = a0 + one_minus_a * (
+                        1.0 - chunk_trans
+                    )
 
-                slots_eff = jnp.where(row_live, n_slots, 0)
-                r1, g1, b1, a1 = jax.lax.fori_loop(
-                    0, slots_eff, slot_body, (r0, g0, b0, a0)
-                )
-                out_ref[0, pl.ds(i, 1), :] = r1
-                out_ref[1, pl.ds(i, 1), :] = g1
-                out_ref[2, pl.ds(i, 1), :] = b1
-                out_ref[3, pl.ds(i, 1), :] = a1
                 return 0
 
             jax.lax.fori_loop(0, rrb, row_body, 0)
@@ -526,9 +686,6 @@ def _make_exact_kernel(
             def _():
                 done_ref[0] = 1
 
-    dim_a_f = np.float32(na)
-    dim_b_f = np.float32(nb)
-    dim_c_f = np.float32(nc)
     return kernel
 
 
@@ -566,12 +723,11 @@ def _march_group(
         rrb=rrb,
         smax=group.smax,
         extra=group.extra,
+        w_c=group.w_c,
         step=p.step_size,
         mult=1.0 / (hi_ - lo_),
         add=-lo_ / (hi_ - lo_),
         e_abc=tuple(float(plan.eye[q]) for q in (a, bx, c)),
-        wmin_abc=tuple(float(plan.world_min[q]) for q in (a, bx, c)),
-        wmax_abc=tuple(float(plan.world_max[q]) for q in (a, bx, c)),
         mad_s=tuple(
             float(
                 (plan.tex_max[q] - plan.tex_min[q])
@@ -613,6 +769,7 @@ def _march_group(
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * nc_pad, nb_pad), jnp.float32),
+            pltpu.VMEM((group.smax + group.extra, 128), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
         ],

@@ -1051,6 +1051,89 @@ def render_store_frame(
     return run(store, tf, jnp.asarray(fv), clip_j, content)
 
 
+class StoreFrameRunner:
+    """Per-frame host fast path for steady-state interactive frames.
+
+    ``render_store_frame`` re-resolves the compiled dispatch, converts
+    the clip matrix, and normalizes geometry on every call (~2-3 ms of
+    host time per frame).  A runner hoists everything camera-INDEPENDENT
+    out of the frame loop; per frame only the 43-float view vector is
+    rebuilt (camera matrices + slope-grid params) and the single jitted
+    dispatch issued — the host analog of the reference keeping its GL
+    pipeline objects across frames (GLRaycastPipeline.cpp:56-90)."""
+
+    __slots__ = (
+        "run", "clip_j", "content", "axis", "b_axis", "c_axis",
+        "wmin", "wmax", "u_size", "v_size", "max_spr", "slope_margin",
+    )
+
+    def __init__(
+        self, store, plan, *, params, swp, world_min, world_max,
+        clip_planes_world=None, content=None, viewport=None,
+        interpret=False,
+    ):
+        wmin = np.asarray(world_min, np.float32)
+        wmax = np.asarray(world_max, np.float32)
+        axis = plan.axis
+        self.axis = axis
+        self.b_axis, self.c_axis = sw._BC_AXES[axis]
+        na, nc, nb = plan.fine_dims
+        clip_m, n_clip = clip_matrix(clip_planes_world, axis)
+        self.clip_j = jnp.asarray(clip_m)
+        self.v_size, self.u_size = swp.inter_size
+        self.wmin, self.wmax = wmin, wmax
+        self.max_spr = float(params.max_samples_per_ray)
+        self.slope_margin = swp.slope_margin
+        self.content = (
+            content if content is not None else jnp.zeros((1,), jnp.int32)
+        )
+        self.run = _compiled_store_frame(
+            na_store=store.shape[0],
+            na_real=na,
+            nc_real=nc,
+            nb_real=nb,
+            k_planes=swp.n_planes,
+            v_size=self.v_size,
+            u_size=self.u_size,
+            wb0=float(wmin[self.b_axis]),
+            wb1=float(wmax[self.b_axis]),
+            wc0=float(wmin[self.c_axis]),
+            wc1=float(wmax[self.c_axis]),
+            early_exit=float(params.early_exit),
+            n_clip=n_clip,
+            compute_dtype=swp.compute_dtype,
+            with_content=content is not None,
+            axis=axis,
+            viewport=tuple(int(x) for x in viewport)
+            if viewport is not None
+            else None,
+            interpret=interpret,
+        )
+
+    def view_vector(self, camera, sw_plan) -> np.ndarray:
+        eye = np.asarray(sw_plan.eye, np.float32)
+        u0, u1, v0, v1 = sw_plan.bounds
+        fv = np.empty(43, np.float32)
+        fv[:11] = [
+            self.wmin[self.axis], self.wmax[self.axis], eye[self.axis],
+            u0, (u1 - u0) / (self.u_size - 1),
+            (v1 - v0) / (self.v_size - 1),
+            eye[self.b_axis], eye[self.c_axis], v0, sw_plan.sign,
+            self.max_spr,
+        ]
+        fv[11:27] = np.asarray(camera.inv_proj, np.float32).ravel()
+        fv[27:43] = np.asarray(camera.inv_mv, np.float32).ravel()
+        return fv
+
+    def __call__(self, store, tf, camera, sw_plan=None):
+        if sw_plan is None:
+            sw_plan = sw.make_view_plan(camera, self.slope_margin)
+        assert sw_plan.axis == self.axis
+        fv = self.view_vector(camera, sw_plan)
+        return self.run(store, tf, jnp.asarray(fv), self.clip_j,
+                        self.content)
+
+
 def store_content(store: jnp.ndarray, na_real: int) -> jnp.ndarray:
     """(Na_store,) int32 per-slice coverage flags for bit-exact
     empty-space skipping: a plane whose bracketing slices are both fully

@@ -272,6 +272,9 @@ class RenderEngine:
         # axis boundary reuse instead of re-assemble.
         self._classified_cache = _ByteLRU(self.device_budget)
         self._store_cache = _ByteLRU(self.device_budget)
+        # Steady-state frame runners (host-side dispatch fast path),
+        # keyed by (set_key, view statics); see render_bricked.
+        self._frame_runners: Dict[tuple, object] = {}
 
     # ------------------------------------------------------------------ IO
     def _load_brick(self, cache_id: int) -> Tuple[np.ndarray, int]:
@@ -789,13 +792,31 @@ class RenderEngine:
                 )
             store, content, plan = cached
             stats.n_passes = 1
-            img = swb.render_store_frame(
-                store, plan, self.transfer_function, camera,
-                params=params, swp=swp,
-                world_min=-half, world_max=half,
-                sw_plan=sw_plan, clip_planes_world=clip_arr,
-                content=content, interpret=interpret,
+            # Steady-state host fast path: the camera-independent frame
+            # runner (compiled dispatch + clip matrix + geometry) is
+            # cached per (set, view statics); per frame only the
+            # 43-float view vector crosses to the device (r3 weak 2:
+            # 32 ms end-to-end vs 3.3 ms kernel).
+            rkey = (
+                set_key,
+                camera.viewport,
+                swp.n_planes,
+                params.early_exit,
+                params.max_samples_per_ray,
+                None if clip_arr is None else clip_arr.tobytes(),
             )
+            runner = self._frame_runners.get(rkey)
+            if runner is None:
+                runner = swb.StoreFrameRunner(
+                    store, plan, params=params, swp=swp,
+                    world_min=-half, world_max=half,
+                    clip_planes_world=clip_arr, content=content,
+                    viewport=camera.viewport, interpret=interpret,
+                )
+                if len(self._frame_runners) > 64:
+                    self._frame_runners.clear()
+                self._frame_runners[rkey] = runner
+            img = runner(store, self.transfer_function, camera, sw_plan)
             return img, stats
 
         # Out-of-core: A-slab multipass with per-slab atlas paging —
