@@ -883,6 +883,8 @@ def _compiled_store_frame(
     viewport: Optional[Tuple[int, int, int, int]],  # None = slope grid out
     interpret: bool,
     emit_transmittance: bool = False,  # also return the final t carry
+    k_total: int = None,  # slab mode: GLOBAL plane count (k_planes local)
+    vs_len: int = 11,  # 13 in slab mode: vs appends [k0, a_base]
 ):
     """ONE jitted dispatch per steady-state frame: device-side plane
     tables + TF tables + opacity correction derived from an 11-float
@@ -917,23 +919,34 @@ def _compiled_store_frame(
         # fv (43,): [vs(11) | inv_proj.ravel()(16) | inv_mv.ravel()(16)]
         # — ONE packed per-frame host→device transfer; vs =
         # [wa0, wa1, eye_a, u0, du, dv, eb, ec, v0, sign, msr].
-        vs = fv[:11]
+        vs = fv[:vs_len]
         inv_proj = fv[11:27].reshape(4, 4)
         inv_mv = fv[27:43].reshape(4, 4)
         wa0, wa1, eye_a = vs[0], vs[1], vs[2]
         u0, du, dv = vs[3], vs[4], vs[5]
         eb, ec, v0, sign = vs[6], vs[7], vs[8], vs[9]
         msr = vs[10]
-        k = jnp.arange(k_planes, dtype=jnp.float32)
-        dz = (wa1 - wa0) / k_planes
+        # Slab mode: this dispatch sweeps GLOBAL planes [k0, k0+K_l)
+        # against a local slab whose slice 0 is global slice a_base
+        # (plane positions/clamps stay on the global grid, so slab
+        # segments fold bit-identically to the monolithic sweep).
+        k0 = vs[11] if vs_len > 11 else jnp.float32(0.0)
+        ab = vs[12] if vs_len > 11 else jnp.float32(0.0)
+        kt = k_total if k_total is not None else k_planes
+        k = k0 + jnp.arange(k_planes, dtype=jnp.float32)
+        dz = (wa1 - wa0) / kt
         z = jnp.where(sign > 0, wa0 + (k + 0.5) * dz, wa1 - (k + 0.5) * dz)
         sa = jnp.clip(
             (z - wa0) / (wa1 - wa0) * na_real - 0.5, -0.5, na_real - 0.5
         )
         i0 = jnp.floor(jnp.clip(sa, 0.0, float(na_real - 1)))
         wa = jnp.clip(sa - i0, 0.0, 1.0)
-        a0 = i0.astype(jnp.int32)
-        a1 = jnp.minimum(a0 + 1, na_real - 1)
+        a0 = jnp.clip(i0 - ab, 0.0, float(na_store - 1)).astype(jnp.int32)
+        a1 = jnp.clip(
+            jnp.minimum(i0 + 1.0, float(na_real - 1)) - ab,
+            0.0,
+            float(na_store - 1),
+        ).astype(jnp.int32)
         if with_content:
             act = jnp.take(content, a0) | jnp.take(content, a1)
         else:

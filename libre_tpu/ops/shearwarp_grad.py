@@ -57,25 +57,44 @@ from libre_tpu.ops.shearwarp_pallas import _interp_matrix, _round_up
 HP = jax.lax.Precision.HIGHEST
 
 
-def _plane_geometry(vs, k_planes, na, nc, nb, v_pad, u_pad, bounds):
+def _plane_geometry(
+    vs, k_planes, na, nc, nb, v_pad, u_pad, bounds,
+    *, k_total=None, na_store=None,
+):
     """Device-side per-plane tables + interpolation-matrix scalars.
 
     Returns a dict of (K,)-shaped tables and broadcast helpers shared by
     the backward recompute (identical math to the kernel's in-kernel
-    matrix builds)."""
+    matrix builds).
+
+    Slab mode (sort-last model parallelism): a 13-float ``vs`` appends
+    [k0, a_base] — this invocation covers the GLOBAL plane range
+    [k0, k0 + k_planes) out of ``k_total`` total planes, reading a local
+    store slab whose slice 0 is global slice ``a_base``.  Plane z
+    positions and the global slice clamp are computed on the GLOBAL grid
+    first (bit-identical to the monolithic sweep), then localized."""
     wb0, wb1, wc0, wc1 = bounds
     wa0, wa1, eye_a = vs[0], vs[1], vs[2]
     u0, du, dv = vs[3], vs[4], vs[5]
     eb, ec, v0, sign = vs[6], vs[7], vs[8], vs[9]
     msr = vs[10]
-    k = jnp.arange(k_planes, dtype=jnp.float32)
-    dz = (wa1 - wa0) / k_planes
+    ext = int(vs.shape[0]) > 11
+    k0 = vs[11] if ext else jnp.float32(0.0)
+    ab = vs[12] if ext else jnp.float32(0.0)
+    k_total = k_total if k_total is not None else k_planes
+    na_store = na_store if na_store is not None else na
+    k = k0 + jnp.arange(k_planes, dtype=jnp.float32)
+    dz = (wa1 - wa0) / k_total
     z = jnp.where(sign > 0, wa0 + (k + 0.5) * dz, wa1 - (k + 0.5) * dz)
     sa = jnp.clip((z - wa0) / (wa1 - wa0) * na - 0.5, -0.5, na - 0.5)
     i0 = jnp.floor(jnp.clip(sa, 0.0, float(na - 1)))
     wa = jnp.clip(sa - i0, 0.0, 1.0)
-    a0 = i0.astype(jnp.int32)
-    a1 = jnp.minimum(a0 + 1, na - 1)
+    a0 = jnp.clip(i0 - ab, 0.0, float(na_store - 1)).astype(jnp.int32)
+    a1 = jnp.clip(
+        jnp.minimum(i0 + 1.0, float(na - 1)) - ab,
+        0.0,
+        float(na_store - 1),
+    ).astype(jnp.int32)
     dl = z - eye_a
     ug = u0 + du * jnp.arange(u_pad, dtype=jnp.float32)
     vg = v0 + dv * jnp.arange(v_pad, dtype=jnp.float32)
@@ -235,6 +254,7 @@ def _compiled_bwd(
     early_exit: float,
     kc: int,
     diff_tf: bool,
+    k_total: int = None,
 ):
     nb_pad = _round_up(nb_real, 128)
     nc_pad = _round_up(nc_real, 128)
@@ -247,7 +267,8 @@ def _compiled_bwd(
     @jax.jit
     def bwd(store, tf, vs, out, t_final, g):
         geo = _plane_geometry(
-            vs, k_planes, na_real, nc_real, nb_real, v_pad, u_pad, bounds
+            vs, k_planes, na_real, nc_real, nb_real, v_pad, u_pad, bounds,
+            k_total=k_total, na_store=na_store,
         )
         # Pad plane tables to whole chunks (inactive planes: wa=0,
         # a0=a1=0, dl copied from last — alpha contributes 0 because
@@ -633,6 +654,7 @@ def _compiled_bwd_pallas(
     kc: int,
     diff_tf: bool,
     interpret: bool,
+    k_total: int = None,
 ):
     nb_pad = _round_up(nb_real, 128)
     nc_pad = _round_up(nc_real, 128)
@@ -649,7 +671,8 @@ def _compiled_bwd_pallas(
     @jax.jit
     def bwd(store, tf, vs, out, t_final, g):
         geo = _plane_geometry(
-            vs, k_planes, na_real, nc_real, nb_real, v_pad, u_pad, bounds
+            vs, k_planes, na_real, nc_real, nb_real, v_pad, u_pad, bounds,
+            k_total=k_total, na_store=na_store,
         )
         a0, a1, wa, dl = geo["a0"], geo["a1"], geo["wa"], geo["dl"]
         u0, du, dv = vs[3], vs[4], vs[5]
@@ -848,8 +871,12 @@ def _run_kernel(store, tf, vs, static):
         viewport=None,
         interpret=static["interpret"],
         emit_transmittance=True,
+        k_total=static.get("k_total"),
+        vs_len=int(vs.shape[0]),
     )
-    fv = jnp.concatenate([vs, jnp.zeros(32, jnp.float32)])
+    fv = jnp.concatenate(
+        [vs, jnp.zeros(43 - int(vs.shape[0]), jnp.float32)]
+    )
     clip = jnp.zeros((8, 128), jnp.float32)
     content = jnp.zeros((1,), jnp.int32)
     return run(store, tf, fv, clip, content)
@@ -882,6 +909,7 @@ def _bwd(static, res, g):
         early_exit=static["early_exit"],
         kc=static["kc"],
         diff_tf=static["diff_tf"],
+        k_total=static.get("k_total"),
     )
     if static.get("backward", "pallas") == "pallas":
         bwd = _compiled_bwd_pallas(
@@ -913,6 +941,7 @@ def static_view(
     interpret: bool = False,
     diff_tf: bool = True,
     backward: str = "pallas",  # "pallas" (fused sweep) | "jnp" (oracle)
+    k_total: int = None,  # slab mode: GLOBAL plane count (vs 13 floats)
 ) -> _StaticView:
     from libre_tpu.ops import shearwarp as sw
 
@@ -936,6 +965,7 @@ def static_view(
         interpret=bool(interpret),
         diff_tf=bool(diff_tf),
         backward=str(backward),
+        k_total=None if k_total is None else int(k_total),
     )
 
 

@@ -158,6 +158,132 @@ def make_loss_fn(problem: StoreProblem, mesh: Optional[Mesh]):
     return loss_fn
 
 
+def shard_store_slabs_uniform(store: jnp.ndarray, d_k: int) -> jnp.ndarray:
+    """(Na, Ncp, Nbp) store → (d_k, Na/d_k, Ncp, Nbp) uniform slice
+    shards (leading axis goes on the mesh brick axis; each device holds
+    1/d_k of the store — the HBM-scaling half of config 5)."""
+    na = store.shape[0]
+    if na % d_k:
+        raise ValueError(f"na={na} must divide the brick axis {d_k}")
+    return store.reshape(d_k, na // d_k, *store.shape[1:])
+
+
+def make_slab_loss_fn(problem: StoreProblem, mesh: Mesh):
+    """Loss over a SLAB-SHARDED store: model parallelism for config 5.
+
+    The store arrives as (d_k, Na/d_k, Ncp, Nbp) with its leading axis on
+    the mesh brick axis — every device holds 1/d_k of the densities (the
+    reference's DB range decomposition, NodeId.cpp:128-137 ranges +
+    Channel.cpp:444-533 compositing, applied to TRAINING).  Per step and
+    view each device:
+
+    1. exchanges ONE boundary slice with each neighbor (``ppermute``
+       halos — shear-warp planes interpolate between adjacent slices, so
+       a plane range needs at most one slice beyond its own shard; the
+       halo exchange transposes to a reverse-permute gradient exchange
+       under AD automatically);
+    2. sweeps its GLOBAL plane range against the extended slab with a
+       fresh carry through the fused custom-VJP renderer (13-float view
+       vector carrying [k0, a_base]);
+    3. segments fold with the over operator in plane order OUTSIDE
+       shard_map (plain differentiable jnp; GSPMD inserts the gather).
+
+    With early exit disabled under grad, the fold is bit-identical to
+    the monolithic sweep, so losses AND gradients match the replicated
+    trainer while the store (and its Adam moments) scale 1/d_k per
+    device.  All views must share one major axis AND one march sign.
+    """
+    from libre_tpu.parallel.compositing import fold_over
+
+    V, U = problem.inter_size
+    n_views = len(problem.views)
+    views_arr = jnp.asarray(problem.views, jnp.float32)
+    d_k = mesh.shape[BRICK_AXIS]
+    d_v = mesh.shape[RAY_AXIS]
+    na = problem.na_real
+    if problem.na_store != problem.na_real:
+        raise ValueError("slab mode requires an unpadded store "
+                         f"(na_store={problem.na_store} != na={na})")
+    if n_views and len({float(v[9]) for v in problem.views}) != 1:
+        raise ValueError("slab mode: all views must share one march sign")
+    sign = float(problem.views[0][9]) if n_views else 1.0
+    if na % d_k or problem.k_planes % d_k or V % d_v:
+        raise ValueError(
+            f"na={na} K={problem.k_planes} V={V} must divide mesh "
+            f"axes {d_k}x{d_v}"
+        )
+    na_l = na // d_k
+    k_l = problem.k_planes // d_k
+    v_l = V // d_v
+    static_l = swg.static_view(
+        na_store=na_l + 2,
+        na_real=na,
+        nc_real=problem.nc_real,
+        nb_real=problem.nb_real,
+        k_planes=k_l,
+        v_size=v_l,
+        u_size=U,
+        world_min=problem.world_min,
+        world_max=problem.world_max,
+        axis=problem.axis,
+        early_exit=1.1,  # disabled under grad
+        kc=problem.kc,
+        interpret=problem.interpret,
+        diff_tf=problem.diff_tf,
+        k_total=problem.k_planes,
+    )
+    fwd_perm = [(i, (i + 1) % d_k) for i in range(d_k)]
+    bwd_perm = [(i, (i - 1) % d_k) for i in range(d_k)]
+
+    def seg_body(slab_l, tf_l, vs_l):
+        kd = jax.lax.axis_index(BRICK_AXIS)
+        vd = jax.lax.axis_index(RAY_AXIS)
+        own = slab_l[0]  # (na_l, Ncp, Nbp)
+        halo_prev = jax.lax.ppermute(
+            own[-1:], BRICK_AXIS, fwd_perm
+        )  # previous device's last slice (cyclic wrap never indexed)
+        halo_next = jax.lax.ppermute(own[:1], BRICK_AXIS, bwd_perm)
+        ext = jnp.concatenate([halo_prev, own, halo_next], axis=0)
+        vs = vs_l.at[8].add(vd.astype(jnp.float32) * (v_l * vs_l[5]))
+        if sign > 0:
+            k0 = kd * k_l
+        else:
+            k0 = (d_k - 1 - kd) * k_l
+        abase = kd * na_l - 1
+        vs13 = jnp.concatenate(
+            [
+                vs,
+                jnp.stack(
+                    [k0.astype(jnp.float32), abase.astype(jnp.float32)]
+                ),
+            ]
+        )
+        seg = swg.render_store_grid_diff(ext, tf_l, vs13, static_l)
+        return seg[None]  # (1, v_l, U, 4)
+
+    fn = shard_map(
+        seg_body,
+        mesh=mesh,
+        in_specs=(P(BRICK_AXIS), P(), P()),
+        out_specs=P(BRICK_AXIS, RAY_AXIS),
+        check_vma=False,
+    )
+    denom = float(n_views * V * U * 4)
+
+    def loss_fn(store_sh, tf, targets):
+        se = 0.0
+        for i in range(n_views):
+            parts = fn(store_sh, tf, views_arr[i])  # (d_k, V, U, 4)
+            if sign < 0:
+                parts = parts[::-1]  # fold in front-to-back plane order
+            rgb, a = fold_over(parts[..., :3], parts[..., 3])
+            img = jnp.concatenate([rgb, a[..., None]], axis=-1)
+            se = se + jnp.sum((img - targets[i]) ** 2)
+        return se / denom
+
+    return loss_fn
+
+
 def make_train_step(
     problem: StoreProblem,
     optimizer: optax.GradientTransformation,
