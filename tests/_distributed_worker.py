@@ -118,8 +118,124 @@ def main():
     np.testing.assert_allclose(img_l, float(l_ref), rtol=1e-5)
     np.testing.assert_allclose(grad_l, np.asarray(g_ref), atol=1e-6)
 
+    sync_global_devices("dense")
+
+    # --- FLAGSHIP bricked path across the process boundary -----------
+    # (r3 weak 5: the dense test proves the bootstrap, not the
+    # centerpiece.)  Sharded bricked render + a slab-sharded store
+    # trainer step, both equal to the local single-device results.
+    from libre_tpu.ops import shearwarp_grad as swg
+    from libre_tpu.ops.shearwarp_bricked import SENTINEL
+    from libre_tpu.ops.shearwarp_pallas import _round_up
+    from libre_tpu.parallel.bricked_sharded import (
+        render_store_grid_sharded,
+    )
+    from libre_tpu.train import store_trainer as st
+
+    axis, sign = 2, -1.0
+    k_planes, v_size, u_size = 16, 8, 8
+    real = np.transpose(np.asarray(vol), sw._PERM[axis])
+    na, nc, nb = real.shape
+    store_np = np.full(
+        (na, _round_up(nc, 128), _round_up(nb, 128)), SENTINEL, np.float32
+    )
+    store_np[:, :nc, :nb] = real
+    fv = swg.view_vector(
+        world_min=gmin, world_max=gmax, axis=axis, eye=eye, sign=sign,
+        slope_bounds=bounds, inter_size=(v_size, u_size),
+        max_samples_per_ray=k_planes,
+    )
+    b_axis, c_axis = sw._BC_AXES[axis]
+    store_g = multihost_utils.host_local_array_to_global_array(
+        store_np, mesh, P()
+    )
+    fv_g = multihost_utils.host_local_array_to_global_array(
+        np.asarray(fv, np.float32), mesh, P()
+    )
+
+    static = swg.static_view(
+        na_store=na, na_real=na, nc_real=nc, nb_real=nb,
+        k_planes=k_planes, v_size=v_size, u_size=u_size,
+        world_min=gmin, world_max=gmax, axis=axis,
+        early_exit=1.1, kc=8, interpret=True,
+    )
+    ref_img = swg.render_store_grid_diff(
+        jnp.asarray(store_np), tf_local, jnp.asarray(fv), static
+    )  # local single-device monolith
+
+    def bricked_err(store, tf, fv_op, ref):
+        img = render_store_grid_sharded(
+            mesh, store, tf, fv_op,
+            na_real=na, nc_real=nc, nb_real=nb, k_planes=k_planes,
+            inter_size=(v_size, u_size),
+            wb0=float(gmin[b_axis]), wb1=float(gmax[b_axis]),
+            wc0=float(gmin[c_axis]), wc1=float(gmax[c_axis]),
+            early_exit=1.1, interpret=True,
+        )
+        return jnp.max(jnp.abs(img - ref))
+
+    ref_g = multihost_utils.host_local_array_to_global_array(
+        np.asarray(ref_img), mesh, P()
+    )
+    err = float(jax.jit(bricked_err)(store_g, tf_g, fv_g, ref_g))
+    assert err < 1e-5, err
+    sync_global_devices("bricked")
+
+    # --- slab-sharded store trainer step over DCN ---------------------
+    problem = st.StoreProblem(
+        views=np.stack([fv]),
+        na_store=na, na_real=na, nc_real=nc, nb_real=nb,
+        k_planes=k_planes, inter_size=(v_size, u_size),
+        world_min=gmin, world_max=gmax, axis=axis,
+        diff_tf=True, kc=8, interpret=True,
+    )
+    targets_np = np.asarray(
+        st.render_views(problem, jnp.asarray(store_np), tf_local)
+    ) * 0.9
+    loss_rep = st.make_loss_fn(problem, None)
+    l_ref, (gs_ref, gtf_ref) = jax.value_and_grad(
+        loss_rep, argnums=(0, 1)
+    )(jnp.asarray(store_np), tf_local, jnp.asarray(targets_np))
+
+    loss_slab = st.make_slab_loss_fn(problem, mesh)
+    d_k = mesh.shape["brick"]
+    store_sh_g = multihost_utils.host_local_array_to_global_array(
+        np.asarray(
+            st.shard_store_slabs_uniform(jnp.asarray(store_np), d_k)
+        ),
+        mesh,
+        P(),
+    )
+    tgt_g = multihost_utils.host_local_array_to_global_array(
+        targets_np, mesh, P()
+    )
+    gs_ref_g = multihost_utils.host_local_array_to_global_array(
+        np.asarray(gs_ref), mesh, P()
+    )
+    gtf_ref_g = multihost_utils.host_local_array_to_global_array(
+        np.asarray(gtf_ref), mesh, P()
+    )
+
+    def slab_step_err(store_sh, tf, targets, gs_r, gtf_r):
+        loss, (g_s, g_t) = jax.value_and_grad(
+            loss_slab, argnums=(0, 1)
+        )(store_sh, tf, targets)
+        e1 = jnp.max(jnp.abs(g_s.reshape(gs_r.shape) - gs_r))
+        e2 = jnp.max(jnp.abs(g_t - gtf_r))
+        return loss, jnp.maximum(e1, e2)
+
+    loss_v, gerr = jax.jit(slab_step_err)(
+        store_sh_g, tf_g, tgt_g, gs_ref_g, gtf_ref_g
+    )
+    loss_v, gerr = float(loss_v), float(gerr)
+    np.testing.assert_allclose(loss_v, float(l_ref), rtol=1e-6)
+    assert gerr < 1e-5, gerr
+
     sync_global_devices("done")
-    print(f"OK pid={PID} loss={img_l:.6f}")
+    print(
+        f"OK pid={PID} loss={img_l:.6f} bricked_err={err:.2e} "
+        f"slab_gerr={gerr:.2e}"
+    )
 
 
 if __name__ == "__main__":
