@@ -145,7 +145,7 @@ def bench_bricked_store(img, n_vox, spr, tf):
             return s
         return jax.jit(f)
 
-    dt, t2, t10 = marginal(chain, store)
+    dt, t2, t10 = marginal(chain, store, m_hi=22)
     rays = img * img
     log(f"bricked store fwd: {dt*1e3:.2f} ms/frame marginal, "
         f"{rays/dt/1e6:.2f} Mrays/s (t2={t2*1e3:.1f} t10={t10*1e3:.1f})")
@@ -195,7 +195,7 @@ def bench_store_bwd(img, spr, store, dims, tf):
             return s
         return jax.jit(f)
 
-    dt, t2, t10 = marginal(chain, store, m_lo=1, m_hi=5)
+    dt, t2, t10 = marginal(chain, store, m_lo=1, m_hi=9)
     rays = img * img
     log(f"store fwd+bwd: {dt*1e3:.2f} ms/step marginal, "
         f"{rays/dt/1e6:.2f} Mrays/s (t1={t2*1e3:.1f} t5={t10*1e3:.1f})")
@@ -246,7 +246,10 @@ def bench_dense_preclassified(img, n_vox, spr, tf):
             return s
         return jax.jit(f)
 
-    dt, t2, t10 = marginal(chain, chans_by_axis)
+    # 40-frame span: the tunneled platform adds ±5-8 ms of dispatch
+    # jitter per call; r03's 36.6 Mrays/s "regression" from r02's 62.2
+    # on this same workload was that jitter swamping an 8-frame margin.
+    dt, t2, t10 = marginal(chain, chans_by_axis, m_hi=42)
     rays = img * img
     log(f"pallas dense fwd: {dt*1e3:.2f} ms/frame marginal, "
         f"{rays/dt/1e6:.2f} Mrays/s (t2={t2*1e3:.1f} t10={t10*1e3:.1f})")
@@ -397,6 +400,11 @@ def main():
                     ),
                     "exact_fwd_mrays": round(exact_mrays, 4),
                     "exact_xla_fwd_mrays": round(exact_xla_mrays, 4),
+                    "continuity": "dense_preclassified IS the r02 "
+                    "headline workload (64^3 seed-0 noise, same chained "
+                    "frames); r03's 36.6 was dispatch-jitter over an "
+                    "8-frame margin, not a kernel change — r04 widens "
+                    "the margin to 40 frames",
                     "workloads": "store 256^3 -> 256^2 x 512 planes (post-TF, "
                     "early exit); fwd+bwd same shape (no early exit); dense "
                     "64^3 preclassified; engine mem:// 64^3 end-to-end; "

@@ -32,6 +32,73 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def comm_model(
+    *,
+    img: int,
+    planes: int,
+    na: int,
+    nc_pad: int,
+    nb_pad: int,
+    t_kernel_ms: float,
+    device_counts,
+    ici_gbps: float = 90.0,
+    views_per_step: int = 1,
+):
+    """Analytic per-axis communication budget vs ICI bandwidth.
+
+    The CPU-mesh timings below validate sharding, not hardware; THIS
+    table is the hardware prediction (r3 weak 6): bytes moved per
+    frame/step per device for each mesh axis, and the resulting
+    predicted parallel efficiency  eff = t_comp / (t_comp + t_comm)
+    with t_comp = single-chip kernel time / D.  ``ici_gbps`` is the
+    per-chip aggregate ICI bandwidth (v5e 1D ring ≈ 2 × 45 GB/s).
+
+    Per-axis costs (R = img² rays, f32):
+      * ray axis (sort-first rows): ZERO steady-state bytes — each
+        device owns its rows end-to-end (Channel.cpp 2D viewport split);
+      * brick axis (sort-last plane slabs), inference fold
+        (parallel/compositing.composite_along_axis): log2(D) ppermutes
+        of the t map (4 B/ray) + 2 ring psums of the premultiplied
+        segment (16 B/ray ≈ 2·(D-1)/D ≈ 2× payload on the wire);
+      * brick axis, slab-TRAINING step: + 2 halo slices
+        (2·Ncp·Nbp·4 B ppermute) + the TF cotangent psum (256·4·4 B ≈
+        4 KB, negligible) per view; store gradients never move.
+    """
+    import math as _math
+
+    r_bytes = img * img * 4
+    rows = []
+    for d in device_counts:
+        if d == 1:
+            rows.append(dict(devices=1, frame_bytes_per_dev=0,
+                             step_bytes_per_dev=0,
+                             predicted_frame_eff=1.0,
+                             predicted_step_eff=1.0))
+            continue
+        logd = max(1, int(_math.ceil(_math.log2(d))))
+        fold = logd * r_bytes + 2 * 2 * (d - 1) / d * 4 * r_bytes
+        halos = 2 * nc_pad * nb_pad * 4
+        tfpsum = 2 * (d - 1) / d * 256 * 4 * 4
+        step = (fold + halos + tfpsum) * views_per_step
+        t_comp = t_kernel_ms / d
+        t_fold = fold / (ici_gbps * 1e6)  # ms
+        t_step = step / (ici_gbps * 1e6)
+        rows.append(dict(
+            devices=d,
+            frame_bytes_per_dev=int(fold),
+            step_bytes_per_dev=int(step),
+            predicted_frame_eff=round(t_comp / (t_comp + t_fold), 3),
+            predicted_step_eff=round(t_comp / (t_comp + t_step), 3),
+        ))
+    return dict(
+        model="bytes per device per frame/step on the brick (sort-last) "
+              "axis; ray axis moves zero bytes",
+        ici_gbps=ici_gbps,
+        t_kernel_1dev_ms=t_kernel_ms,
+        rows=rows,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=0, help="max devices (0 = all)")
@@ -191,6 +258,15 @@ def main():
             "backend": backend + ("/virtual" if args.cpu_mesh else ""),
         }), flush=True)
         n *= 2
+
+    # Analytic ICI prediction (the ≥80% BASELINE target is otherwise
+    # untestable on a 1-chip bench host).
+    nc_pad = -(-nv // 128) * 128
+    model = comm_model(
+        img=img, planes=spr, na=nv, nc_pad=nc_pad, nb_pad=nc_pad,
+        t_kernel_ms=3.3, device_counts=[1, 2, 4, 8, 16, 64, 256],
+    )
+    print(json.dumps({"comm_model": model}), flush=True)
 
     if args.cpu_mesh:
         log("NOTE: virtual CPU mesh — numbers validate sharding, not hardware")

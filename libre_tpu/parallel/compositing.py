@@ -52,15 +52,58 @@ def fold_over(rgb_parts: jnp.ndarray, a_parts: jnp.ndarray) -> Segment:
     return segs[0]
 
 
-def composite_along_axis(rgb: jnp.ndarray, a: jnp.ndarray, axis_name: str) -> Segment:
+def _pshift(x: jnp.ndarray, axis_name: str, shift: int, d: int, fill):
+    """Receive ``x`` from device i - shift along the axis (devices with
+    no source get ``fill`` — ppermute zero-fills unmatched targets, so
+    an identity element must be patched in for products)."""
+    perm = [(i, i + shift) for i in range(d - shift)]
+    got = jax.lax.ppermute(x, axis_name, perm)
+    flag = jax.lax.ppermute(jnp.ones((), x.dtype), axis_name, perm)
+    return got + (1.0 - flag) * fill
+
+
+def composite_along_axis(
+    rgb: jnp.ndarray, a: jnp.ndarray, axis_name: str
+) -> Segment:
     """Ordered over-reduce of per-device partial segments along a mesh axis.
 
     Must be called inside shard_map with ``axis_name`` mapped.  Device i's
     segment is assumed frontmost for the lowest axis index (the caller
     assigns brick ranges in front-to-back order, the analog of
-    Channel::orderFrames' view-dependent frame ordering).  Implemented as
-    all_gather + log-depth fold; the result is replicated along the axis.
+    Channel::orderFrames' view-dependent frame ordering).  The result is
+    replicated along the axis.
+
+    O(R·log D) per device: the over operator factors through the
+    per-device transmittance prefix product,
+
+        rgb_out = Σ_i P_i · rgb_i,   1 - a_out = Π_i t_i,
+        P_i = Π_{j<i} t_j,  t_j = 1 - a_j,
+
+    so the reduce is a log-step ppermute prefix scan of t (Hillis-
+    Steele) followed by TWO psums of premultiplied terms (the alpha psum
+    uses the telescoping identity Σ P_i·a_i = 1 - Π t).  An
+    eq-Compositor-style gather (all_gather + fold) moves O(D·R) bytes
+    per device; this moves O(R·log D) and reduces on the wire — the
+    form that scales to pod meshes (r3 weak 6).
     """
+    d = jax.lax.axis_size(axis_name)
+    t = 1.0 - a
+    # Inclusive prefix product of t along the axis.
+    incl = t
+    shift = 1
+    while shift < d:
+        incl = incl * _pshift(incl, axis_name, shift, d, 1.0)
+        shift *= 2
+    excl = _pshift(incl, axis_name, 1, d, 1.0)
+    rgb_out = jax.lax.psum(excl[..., None] * rgb, axis_name)
+    a_out = jax.lax.psum(excl * a, axis_name)
+    return rgb_out, a_out
+
+
+def composite_along_axis_gather(
+    rgb: jnp.ndarray, a: jnp.ndarray, axis_name: str
+) -> Segment:
+    """Reference implementation: all_gather + log-depth fold (O(D·R))."""
     rgb_parts = jax.lax.all_gather(rgb, axis_name)  # (D, R, 3)
     a_parts = jax.lax.all_gather(a, axis_name)  # (D, R)
     return fold_over(rgb_parts, a_parts)
