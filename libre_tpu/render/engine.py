@@ -61,6 +61,7 @@ class RenderStatistics:
     n_render_available: int = 0
     n_passes: int = 0
     rendering_done: bool = True
+    histogram: "Optional[Histogram]" = None
     pending_uploads: List = dataclasses.field(
         default_factory=list, repr=False
     )
@@ -665,6 +666,10 @@ class RenderEngine:
         data_range: Tuple[float, float] = (0.0, 1.0),
         n_planes: Optional[int] = None,
         max_store_mb: Optional[int] = None,
+        collect_histogram: bool = False,
+        relative_viewport: Tuple[float, float, float, float] = (
+            0.0, 0.0, 1.0, 1.0,
+        ),
     ) -> Tuple[jnp.ndarray, RenderStatistics]:
         """Fast-path frame over the mixed-LOD rendering set streamed
         through the HBM brick atlas (ops/shearwarp_bricked.py) —
@@ -708,6 +713,15 @@ class RenderEngine:
         stats.n_available = len(render_nodes)
         stats.n_not_available = len(visibles) - len(render_nodes)
         stats.n_render_available = len(render_nodes)
+        if collect_histogram:
+            # Fast-path histogram: merged from the SAME rendering set
+            # the frame composites, deduped across channels/tiles by the
+            # brick-center test (r3 missing 2; HistogramFilter.cpp
+            # semantics).  Per-brick histograms are LRU-cached, so the
+            # steady-state cost is a dict walk.
+            stats.histogram = self.accumulate_histogram(
+                render_nodes, frustum, relative_viewport
+            )
 
         info = self.info
         half = np.asarray(info.world_size, np.float32) * 0.5
@@ -1098,10 +1112,57 @@ class RenderEngine:
             self._compiled[key] = fn
         return fn
 
-    def accumulate_histogram(self, nodes: Sequence[NodeId]) -> Optional[Histogram]:
-        """Merge per-brick histograms (HistogramFilter.cpp:44-129)."""
+    def _center_in_viewport(
+        self, frustum: Frustum, node: NodeId, rel_viewport
+    ) -> bool:
+        """Cross-channel dedupe test (HistogramFilter.cpp:44-75): a
+        brick rendered by several channels/tiles is counted by exactly
+        the one whose viewport-extended NDC cube contains its world-box
+        center (borders of the absolute viewport extend to infinity;
+        z always does)."""
+        ln = self.datasource.get_node(node)
+        center = (
+            np.asarray(ln.world_box_min, np.float64)
+            + np.asarray(ln.world_box_max, np.float64)
+        ) * 0.5
+        c = frustum.mvp.astype(np.float64) @ np.append(center, 1.0)
+        if c[3] == 0.0:
+            return False
+        c = c[:3] / c[3]
+        x0, y0, w, h = rel_viewport
+        inf = np.inf
+        lo = np.array(
+            [-inf if x0 == 0.0 else -1.0, -inf if y0 == 0.0 else -1.0,
+             -inf]
+        )
+        hi = np.array(
+            [inf if x0 + w == 1.0 else 1.0, inf if y0 + h == 1.0 else 1.0,
+             inf]
+        )
+        return bool(np.all(c >= lo) and np.all(c <= hi))
+
+    def accumulate_histogram(
+        self,
+        nodes: Sequence[NodeId],
+        frustum: Optional[Frustum] = None,
+        relative_viewport: Optional[Tuple[float, float, float, float]] = None,
+    ) -> Optional[Histogram]:
+        """Merge per-brick histograms (HistogramFilter.cpp:44-129).
+
+        With ``frustum`` + ``relative_viewport`` (this channel's share
+        of the absolute viewport, [0,1]²), bricks whose center falls in
+        another channel's tile are skipped so multi-view/multi-channel
+        accumulations count each brick exactly once."""
         total: Optional[Histogram] = None
         for node in nodes:
+            if (
+                frustum is not None
+                and relative_viewport is not None
+                and not self._center_in_viewport(
+                    frustum, node, relative_viewport
+                )
+            ):
+                continue
             def loader(cache_id, node=node):
                 data = self.data_cache.load(cache_id).value
                 h = compute_brick_histogram(

@@ -172,3 +172,61 @@ def test_texture_cache_eviction_returns_slots(view):
     eng.render(camera, frustum, params=PARAMS, screen_space_error=1.0)
     # All slots either free or tracked by the texture cache — none leaked.
     assert eng.atlas.free_slots + len(eng.texture_cache) == eng.atlas.n_slots
+
+
+def test_bricked_histogram_and_channel_dedupe(engine, view):
+    """The fast path emits a histogram from its own rendering set, and
+    the HistogramFilter brick-center dedupe counts each brick exactly
+    once across sort-first tiles (HistogramFilter.cpp:44-129)."""
+    eng = engine
+    cam, frustum = view
+    img, stats = eng.render_bricked(
+        cam, frustum, n_planes=32, collect_histogram=True,
+        data_range=(0.0, 255.0),
+    )
+    assert stats.histogram is not None
+    full_nodes = eng.select(
+        frustum, H, 4.0, 0, 15, (0.0, 255.0), None, 0
+    )
+    full = eng.accumulate_histogram(full_nodes)
+    assert stats.histogram.sum == full.sum > 0
+
+    # Two sort-first tiles: per-tile asymmetric frusta + relative
+    # viewports.  glFrustum-style split of the full projection.
+    f = frustum
+    n, fa = f.near, f.far
+    l, r, b, t = f.left, f.right, f.bottom, f.top
+    mid = (l + r) / 2.0
+
+    def make_proj(l_, r_, b_, t_):
+        p = np.zeros((4, 4), np.float32)
+        p[0, 0] = 2 * n / (r_ - l_)
+        p[0, 2] = (r_ + l_) / (r_ - l_)
+        p[1, 1] = 2 * n / (t_ - b_)
+        p[1, 2] = (t_ + b_) / (t_ - b_)
+        p[2, 2] = -(fa + n) / (fa - n)
+        p[2, 3] = -2 * fa * n / (fa - n)
+        p[3, 2] = -1.0
+        return p
+
+    mv = np.linalg.inv(np.asarray(cam.inv_mv, np.float64)).astype(np.float32)
+    tiles = [
+        (Frustum(mv, make_proj(l, mid, b, t)), (0.0, 0.0, 0.5, 1.0)),
+        (Frustum(mv, make_proj(mid, r, b, t)), (0.5, 0.0, 0.5, 1.0)),
+    ]
+    owners = []
+    for node in full_nodes:
+        own = [
+            i
+            for i, (fr, vp) in enumerate(tiles)
+            if eng._center_in_viewport(fr, node, vp)
+        ]
+        assert len(own) == 1, (node, own)
+        owners.append(own[0])
+    parts = [
+        eng.accumulate_histogram(full_nodes, fr, vp) for fr, vp in tiles
+    ]
+    merged = sum(
+        int(p.sum) if p is not None else 0 for p in parts
+    )
+    assert merged == full.sum
