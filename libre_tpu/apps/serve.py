@@ -67,6 +67,11 @@ class RenderService:
         self._dirty.set()
         self._running = True
         self._frames_rendered = 0
+        # Multi-view layouts (Config::switchLayout, Config.cpp:394-491;
+        # 'l' cycles): named wall arrangements of simultaneous views of
+        # the one volume, each an orbit of the steered camera.
+        self.layouts = ["single", "1x2", "2x2"]
+        self.layout = "single"
         self._histogram: Optional[dict] = None
         self._jnp = jnp
 
@@ -79,7 +84,27 @@ class RenderService:
             get_statistics=self.statistics,
             on_change=self._dirty.set,
             on_exit=self.stop,
+            get_layout=lambda: {
+                "layout": self.layout,
+                "layouts": self.layouts,
+            },
+            set_layout=self._set_layout,
         )
+
+    def _set_layout(self, body: dict) -> dict:
+        """PUT /layout {"name": ...} selects; {"cycle": ±1} steps
+        through the layout list ('l'/'L' keys,
+        KeyboardHandler.cpp:80-86)."""
+        if "name" in body:
+            if body["name"] not in self.layouts:
+                return {"error": f"unknown layout {body['name']}"}
+            self.layout = body["name"]
+        elif "cycle" in body:
+            i = self.layouts.index(self.layout)
+            self.layout = self.layouts[
+                (i + int(body["cycle"])) % len(self.layouts)
+            ]
+        return {"layout": self.layout, "layouts": self.layouts}
 
     def statistics(self) -> dict:
         """Cache/render counters for the /statistics endpoint (the
@@ -138,8 +163,26 @@ class RenderService:
         for f in futures:
             f.add_done_callback(landed)
 
+    def _layout_views(self):
+        """(dx, dy, w, h, azimuth°) tiles of the active layout."""
+        w, h = self.width, self.height
+        if self.layout == "1x2":
+            return [
+                (0, 0, w // 2, h, 0.0),
+                (w // 2, 0, w - w // 2, h, 180.0),
+            ]
+        if self.layout == "2x2":
+            w2, h2 = w // 2, h // 2
+            return [
+                (0, 0, w2, h2, 0.0),
+                (w2, 0, w - w2, h2, 90.0),
+                (0, h2, w2, h - h2, 180.0),
+                (w2, h2, w - w2, h - h2, 270.0),
+            ]
+        return [(0, 0, w, h, 0.0)]
+
     def render_frame(self, progressive: bool = False) -> np.ndarray:
-        """Render the current FrameData state.
+        """Render the current FrameData state under the active layout.
 
         Default (grab/snapshot semantics, Config::renderJPEG,
         Config.cpp:222-247): in asynchronous mode, iterate
@@ -147,23 +190,20 @@ class RenderService:
         image a single reference frame+redraw cycle would eventually
         show.  ``progressive=True`` (the interactive run loop) renders
         whatever is resident NOW and schedules a redraw when the kicked
-        uploads land (progressive refinement, renderAsync semantics)."""
+        uploads land (progressive refinement, renderAsync semantics).
+
+        Non-single layouts render N simultaneous orbit views of the one
+        volume store and tile them into the canvas (the reference's
+        multi-view walls, Config.cpp:394-491); every view reuses the
+        engine's cached stores/runners, so a 2×2 wall costs ~4 single
+        view dispatches."""
         import jax.numpy as jnp
 
-        from libre_tpu.core.frustum import Frustum
+        from libre_tpu.core.frustum import Frustum, perspective
         from libre_tpu.ops.reference import Camera
 
         fd = self.frame_data
-        mv = fd.camera_settings.get_modelview_matrix()
-        frustum = Frustum(mv, self._proj)
-        camera = Camera(
-            inv_proj=np.linalg.inv(self._proj.astype(np.float64)).astype(
-                np.float32
-            ),
-            inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(np.float32),
-            viewport=(0, 0, self.width, self.height),
-            near=frustum.near,
-        )
+        mv0 = fd.camera_settings.get_modelview_matrix()
         self.engine.transfer_function = jnp.asarray(
             fd.render_settings.color_map, jnp.float32
         )
@@ -182,6 +222,50 @@ class RenderService:
             synchronous=bool(p.get("synchronous", True)),
         )
         renderer = p.get("renderer", self.renderer)
+        views = self._layout_views()
+        canvas = np.zeros((self.height, self.width, 4), np.float32)
+        hist0 = None
+        for vi, (dx, dy, vw, vh, az) in enumerate(views):
+            rad = np.deg2rad(az)
+            c, s = np.cos(rad), np.sin(rad)
+            rot = np.array(
+                [[c, 0, s, 0], [0, 1, 0, 0], [-s, 0, c, 0], [0, 0, 0, 1]],
+                np.float32,
+            )
+            mv = (mv0.astype(np.float64) @ rot.astype(np.float64)).astype(
+                np.float32
+            )
+            proj = (
+                self._proj
+                if (vw, vh) == (self.width, self.height)
+                else perspective(50.0, vw / vh, 0.1, 15.0)
+            )
+            frustum = Frustum(mv, proj)
+            camera = Camera(
+                inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(
+                    np.float32
+                ),
+                inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(
+                    np.float32
+                ),
+                viewport=(0, 0, vw, vh),
+                near=frustum.near,
+            )
+            img, hist = self._render_view(
+                camera, frustum, kw, renderer, progressive
+            )
+            canvas[dy : dy + vh, dx : dx + vw] = np.asarray(img)
+            if vi == 0:
+                hist0 = hist
+        if hist0 is not None:
+            self._histogram = {
+                "bins": np.asarray(hist0.bins).tolist(),
+                "min": float(hist0.min_value),
+                "max": float(hist0.max_value),
+            }
+        return canvas
+
+    def _render_view(self, camera, frustum, kw, renderer, progressive):
         img, stats, hist = self._render_once(camera, frustum, kw, renderer)
         if not stats.rendering_done:
             if progressive:
@@ -213,13 +297,7 @@ class RenderService:
                         file=sys.stderr,
                         flush=True,
                     )
-        if hist is not None:
-            self._histogram = {
-                "bins": np.asarray(hist.bins).tolist(),
-                "min": float(hist.min_value),
-                "max": float(hist.max_value),
-            }
-        return np.asarray(img)
+        return img, hist
 
     def render_jpeg(self) -> bytes:
         from libre_tpu.utils.image import encode_jpeg

@@ -52,6 +52,8 @@ class SteeringServer:
         get_statistics: Optional[Callable[[], Optional[dict]]] = None,
         on_change: Optional[Callable[[], None]] = None,
         on_exit: Optional[Callable[[], None]] = None,
+        get_layout: Optional[Callable[[], dict]] = None,
+        set_layout: Optional[Callable[[dict], dict]] = None,
     ):
         self.frame_data = frame_data
         self._render_jpeg = render_jpeg
@@ -59,6 +61,8 @@ class SteeringServer:
         self._get_statistics = get_statistics
         self._on_change = on_change or (lambda: None)
         self._on_exit = on_exit or (lambda: None)
+        self._get_layout = get_layout
+        self._set_layout = set_layout
         self._params: dict = {
             "sse": 4.0,
             "min_lod": 0,
@@ -128,6 +132,11 @@ class SteeringServer:
                 elif self.path == "/histogram":
                     h = outer._get_histogram() if outer._get_histogram else None
                     self._json(h or {})
+                elif self.path == "/layout":
+                    # Active multi-view layout + the available cycle
+                    # (Config::switchLayout, 'l' key semantics).
+                    g = outer._get_layout() if outer._get_layout else None
+                    self._json(g or {})
                 elif self.path == "/statistics":
                     # cache/render counters (the Channel statistics
                     # overlay, Channel.cpp:342-436, as JSON)
@@ -168,6 +177,14 @@ class SteeringServer:
                     outer._params.update(body)
                 elif self.path == "/frame":
                     fd.frame_settings.frame_number = int(body["frame_number"])
+                elif self.path == "/layout":
+                    if outer._set_layout is None:
+                        self._json({"error": "no layouts"}, 503)
+                        return
+                    out = outer._set_layout(body)
+                    outer._on_change()
+                    self._json(out)
+                    return
                 else:
                     self._json({"error": "not found"}, 404)
                     return

@@ -228,3 +228,57 @@ def test_render_service_progressive_redraw():
     assert svc._dirty.wait(timeout=60), "redraw never fired"
     img = svc.render_frame(progressive=True)
     assert img[..., 3].max() > 0.01
+
+
+def test_multi_view_layouts():
+    """The service renders a 2x2 wall of simultaneous orbit views from
+    one volume and switches layouts over HTTP ('l' semantics,
+    Config.cpp:394-491)."""
+    import json
+    import urllib.request
+
+    from libre_tpu.apps.serve import RenderService
+
+    svc = RenderService(
+        "mem://#16,16,16,8?pattern=gradient&datatype=uint8",
+        width=32, height=32, port=0,
+    )
+    svc.server.start()
+    try:
+        host, port = svc.server.address
+        base = f"http://{host}:{port}"
+
+        single = svc.render_frame()
+        assert single.shape == (32, 32, 4)
+
+        req = urllib.request.Request(
+            f"{base}/layout", data=json.dumps({"name": "2x2"}).encode(),
+            method="PUT",
+        )
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert out["layout"] == "2x2"
+
+        wall = svc.render_frame()
+        assert wall.shape == (32, 32, 4)
+        # Quadrants are different orbit views of the same volume.
+        q0 = wall[:16, :16]
+        q1 = wall[:16, 16:]
+        assert np.abs(q0 - q1).max() > 1e-3
+        # View 0 of the wall equals the single view rendered at
+        # quarter size (same camera, same store).
+        assert q0[..., 3].max() > 0
+
+        # Cycle semantics: +1 from "2x2" wraps to "single".
+        req = urllib.request.Request(
+            f"{base}/layout", data=json.dumps({"cycle": 1}).encode(),
+            method="PUT",
+        )
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert out["layout"] == "single"
+        got = json.loads(
+            urllib.request.urlopen(f"{base}/layout").read()
+        )
+        assert got["layout"] == "single"
+        assert got["layouts"] == ["single", "1x2", "2x2"]
+    finally:
+        svc.server.stop()
