@@ -687,7 +687,7 @@ def _compiled_assembler(
         for (layers, tc, tb, factor, dc, db, s_rows), ops in zip(
             level_shapes, level_ops
         ):
-            slots = ops["slots"].reshape(-1)
+            slots = ops["isr"][0].reshape(-1)
             rows = jnp.take(atlas, slots, axis=0)  # (n, vox_pad)
             bricks = rows[:, :voxels_flat].reshape(
                 (-1,) + padded_zyx
@@ -697,14 +697,14 @@ def _compiled_assembler(
                 bricks, (0,) + tuple(p + 1 for p in perm)
             )
             cores = bricks[:, oa : oa + ba, oc : oc + bc, ob : ob + bb]
-            resident = ops["resident"].reshape(-1, 1, 1, 1)
+            resident = ops["isr"][1].reshape(-1, 1, 1, 1)
             vals = cores * resident
             grid = vals.reshape(layers, tc, tb, ba, bc, bb)
             grid = jnp.transpose(grid, (0, 3, 1, 4, 2, 5)).reshape(
                 layers * ba, tc * bc, tb * bb
             )[:, :dc, :db]
             cov = jnp.broadcast_to(
-                ops["resident"][:, None, :, None, :, None],
+                ops["isr"][1][:, None, :, None, :, None],
                 (layers, ba, tc, bc, tb, bb),
             ).reshape(layers * ba, tc * bc, tb * bb)[:, :dc, :db]
 
@@ -751,7 +751,7 @@ def _compiled_assembler(
                 ops["own_row0"]
                 + jax.lax.broadcasted_iota(jnp.int32, (s_rows, 1), 0)[:, 0]
             ) // fa - ops["own_l0"]
-            own = jnp.take(ops["own"], row_idx, axis=0)  # (S, tc, tb)
+            own = jnp.take(ops["isr"][2], row_idx, axis=0)  # (S, tc, tb)
             own = jnp.repeat(own, factor * bc, axis=1)[:, :fine_nc]
             own = jnp.repeat(own, factor * bb, axis=2)[:, :, :fine_nb]
             v_up = v_up * own
@@ -767,6 +767,14 @@ def _compiled_assembler(
         return jax.lax.dynamic_update_slice(out, dens, (0, 0, 0))
 
     return assemble
+
+
+@functools.lru_cache(maxsize=512)
+def _upsample_matrix_dev(n_fine, n_coarse, lo, hi, base, span):
+    """Device-resident two-tap upsample matrix, cached per geometry —
+    these are pure functions of static ints and identical every frame,
+    so re-uploading them per slab was pure transfer latency."""
+    return jnp.asarray(_upsample_matrix(n_fine, n_coarse, lo, hi, base, span))
 
 
 def assemble_store(
@@ -819,22 +827,32 @@ def assemble_store(
                 na, da_l, a_lo, a_hi_incl, c_base, layers * ba
             )
             a_off = 0
+        # ONE packed i32 transfer per level for the residency-varying
+        # tables (slots/resident/own), instead of three small
+        # device_puts — per-transfer latency dominates out-of-core
+        # paging on the tunneled platform (r3 item 8).
         ops = {
-            "slots": jnp.asarray(lt.slots[sl]),
-            "resident": jnp.asarray(lt.resident[sl]),
-            "amat": jnp.asarray(amat),
+            "isr": jnp.asarray(
+                np.stack(
+                    [
+                        lt.slots[sl],
+                        lt.resident[sl].astype(lt.slots.dtype),
+                        lt.own[sl].astype(lt.slots.dtype),
+                    ]
+                )
+            ),
+            "amat": jnp.asarray(amat)
+            if f == 1
+            else _upsample_matrix_dev(
+                na, da_l, a_lo, a_hi_incl, c_base, layers * ba
+            ),
             "a_off": jnp.int32(a_off),
-            "own": jnp.asarray(lt.own[sl]),
             "own_row0": jnp.int32(a_lo),
             "own_l0": jnp.int32(l_lo),
         }
         if f != 1:
-            ops["cmat"] = jnp.asarray(
-                _upsample_matrix(nc, dc_l, 0, nc - 1, 0, dc_l)
-            )
-            ops["bmat"] = jnp.asarray(
-                _upsample_matrix(nb, db_l, 0, nb - 1, 0, db_l)
-            )
+            ops["cmat"] = _upsample_matrix_dev(nc, dc_l, 0, nc - 1, 0, dc_l)
+            ops["bmat"] = _upsample_matrix_dev(nb, db_l, 0, nb - 1, 0, db_l)
         level_shapes.append(
             (
                 layers, lt.slots.shape[1], lt.slots.shape[2], f, dc_l,

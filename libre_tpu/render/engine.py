@@ -304,6 +304,34 @@ class RenderEngine:
 
         return self.texture_cache.load(node.id, loader=loader)
 
+    def _upload_nodes(self, nodes: Sequence[NodeId]) -> List:
+        """Batched host→atlas upload: ONE device dispatch for every
+        missing brick (atlas.upload_many) instead of a per-brick
+        transfer — on the tunneled platform each dispatch costs ~3 ms,
+        so per-brick uploads dominate out-of-core paging (config 3).
+        Returns the texture-cache entries in ``nodes`` order."""
+        entries = {id(n): self.texture_cache.get(n.id) for n in nodes}
+        missing = [n for n in nodes if entries[id(n)] is None]
+        if missing:
+            self.prefetch_batch(missing)
+            datas = [self.data_cache.load(n.id).value for n in missing]
+            self.texture_cache.ensure_budget(
+                self.atlas.slot_bytes * len(missing)
+            )
+            slots = [self.atlas.acquire() for _ in missing]
+            self.atlas.upload_many(slots, np.stack(datas))
+            for n, s in zip(missing, slots):
+                e = self.texture_cache.load(
+                    n.id,
+                    loader=lambda cid, s=s: (s, self.atlas.slot_bytes),
+                )
+                if e.value != s:
+                    # Raced with an async upload that inserted first;
+                    # return our pre-acquired slot to the pool.
+                    self.atlas.release(s)
+                entries[id(n)] = e
+        return [entries[id(n)] for n in nodes]
+
     def prefetch(self, nodes: Sequence[NodeId]) -> List:
         """Async disk→host loads on the upload pool (Tuyau-executor stand-in,
         GLRaycastPipeline.cpp:58-75)."""
@@ -462,7 +490,7 @@ class RenderEngine:
             if not pass_nodes:
                 break
             stats.n_passes += 1
-            entries = [self._upload_node(n).pin() for n in pass_nodes]
+            entries = [e.pin() for e in self._upload_nodes(pass_nodes)]
             try:
                 brick_set = self._brick_set_for(
                     pass_nodes, [e.value for e in entries]
@@ -776,12 +804,17 @@ class RenderEngine:
             render_level,
         )
 
-        if store_bytes <= budget:
-            # Whole store fits: assemble once, cache, single-dispatch.
+        if (
+            store_bytes <= budget
+            and len(render_nodes) <= self.atlas.n_slots
+        ):
+            # Whole store fits AND the atlas can pin the full rendering
+            # set for the one-shot assembly: single-dispatch steady
+            # state.  Otherwise fall through to atlas-bounded multipass.
             cached = self._store_cache.get(set_key)
             if cached is None:
                 entries = [
-                    self._upload_node(n).pin() for n in render_nodes
+                    e.pin() for e in self._upload_nodes(render_nodes)
                 ]
                 try:
                     slot_of = {
@@ -838,6 +871,14 @@ class RenderEngine:
         # (LRU-evicting earlier slabs), assembles the slab, and sweeps
         # the kernel with the carried (rgb, transmittance).
         max_slices = max(2, int(budget // (nc_pad * nb_pad * 4)))
+        # A pass's bricks must be atlas-resident SIMULTANEOUSLY (the
+        # assembly gathers their slots in one dispatch), so the slab
+        # height is also bounded by atlas capacity: whole block layers
+        # of the render level must fit the slot pool.
+        bs = max(1, int(self.info.block_size[0]))
+        bricks_per_layer = max(1, (-(-nc // bs)) * (-(-nb // bs)))
+        layers_fit = max(1, self.atlas.n_slots // bricks_per_layer)
+        max_slices = min(max_slices, layers_fit * bs)
         # Global plane tables are identical for every slab (the sweep
         # builds them once); plan the slab partition from them.
         a0_g, _a1, _wa, _dl, _z, _dz = swb.plane_tables(
@@ -873,7 +914,7 @@ class RenderEngine:
                 # Fully uncovered slab: every sample masks to zero —
                 # skipping the pass is bit-exact.
                 continue
-            entries = [self._upload_node(n).pin() for n in slab_nodes]
+            entries = [e.pin() for e in self._upload_nodes(slab_nodes)]
             try:
                 slot_of = {
                     n.id: e.value for n, e in zip(slab_nodes, entries)
