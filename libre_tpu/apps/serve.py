@@ -310,8 +310,31 @@ class RenderService:
         host, port = self.server.address
         print(f"steering server on http://{host}:{port}", flush=True)
         rendered = 0
+        last_anim = time.perf_counter()
         while self._running and (max_frames is None or rendered < max_frames):
-            if not self._dirty.wait(timeout=0.25):
+            # Animation: advance the time step at animation_fps and mark
+            # the frame dirty (the AnimationController loop,
+            # apps/livreGUI/animationController + Config::frame).
+            p = self.server.params
+            delta = int(p.get("animation", 0))
+            if delta:
+                fps = max(float(p.get("animation_fps", 10.0)), 0.1)
+                now = time.perf_counter()
+                if now - last_anim >= 1.0 / fps:
+                    last_anim = now
+                    from libre_tpu.core.frame_utils import FrameUtils
+
+                    fr = self.engine.info.frame_range
+                    fu = FrameUtils(
+                        (int(fr[0]), int(fr[1])), (int(fr[0]), int(fr[1]))
+                    )
+                    cur = self.frame_data.frame_settings.frame_number
+                    cur = fu.get_current(cur)
+                    self.frame_data.frame_settings.frame_number = (
+                        fu.get_next(cur, delta)
+                    )
+                    self._dirty.set()
+            if not self._dirty.wait(timeout=0.05 if delta else 0.25):
                 continue
             self._dirty.clear()
             t0 = time.perf_counter()
