@@ -366,6 +366,25 @@ def bench_engine_frame(img=256):
     return pipelined_ms, blocking_ms
 
 
+def _ooc_artifact():
+    """Committed config-3 at-scale run (benchmarks/demo_out_of_core.py,
+    1024^3 lod:// store, orbit path, atlas paging live) if present."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "OOC_RUN_r04.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return {
+        "volume": d.get("volume_voxels"),
+        "incore_mrays": d.get("incore", {}).get("mrays_per_s"),
+        "ooc_mrays": d.get("out_of_core", {}).get("mrays_per_s"),
+        "ooc_vs_incore": d.get("ooc_vs_incore"),
+        "atlas_evictions": d.get("out_of_core", {}).get("atlas_evictions"),
+    }
+
+
 def main():
     log("devices:", jax.devices())
     from libre_tpu.ops import transfer_function as tf_ops
@@ -400,6 +419,7 @@ def main():
                     ),
                     "exact_fwd_mrays": round(exact_mrays, 4),
                     "exact_xla_fwd_mrays": round(exact_xla_mrays, 4),
+                    "out_of_core_1024": _ooc_artifact(),
                     "continuity": "dense_preclassified IS the r02 "
                     "headline workload (64^3 seed-0 noise, same chained "
                     "frames); r03's 36.6 was dispatch-jitter over an "

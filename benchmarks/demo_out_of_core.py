@@ -79,14 +79,16 @@ def run_path(engine, views, img, n_planes, warm=1, sse=4.0, min_lod=0):
     import jax
 
     stats_all = []
-    # Warm lap: compiles + first-touch IO for every camera of the path;
-    # the measured lap is the steady state (an interactive orbit).
-    for cam, fr in views:
-        out, _ = engine.render_bricked(
-            cam, fr, n_planes=n_planes, screen_space_error=sse,
-            min_lod=min_lod,
-        )
-        jax.block_until_ready(out)
+    # Two warm laps: compiles (incl. every upload-batch size bucket the
+    # paging pattern produces) + first-touch IO for every camera; the
+    # measured lap is the steady state of an interactive orbit.
+    for _ in range(2):
+        for cam, fr in views:
+            out, _ = engine.render_bricked(
+                cam, fr, n_planes=n_planes, screen_space_error=sse,
+                min_lod=min_lod,
+            )
+            jax.block_until_ready(out)
     t0 = time.perf_counter()
     for cam, fr in views:
         out, st = engine.render_bricked(

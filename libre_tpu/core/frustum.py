@@ -78,6 +78,8 @@ class Frustum:
         self.inv_proj = np.linalg.inv(self.proj.astype(np.float64)).astype(np.float32)
         self.mvp = (self.proj @ self.mv).astype(np.float32)
         self.planes = extract_planes(self.mvp)
+        self._plane_mat = np.stack(self.planes).astype(np.float32)
+        self._plane_abs = np.abs(self._plane_mat[:, :3])
 
         # Projection limits (vmmlib frustum(projection) extraction, used by
         # Frustum::nearPlane()/top()/bottom() in SelectVisibles.cpp:54-64).
@@ -102,15 +104,19 @@ class Frustum:
         return self.planes[4]
 
     def is_in_frustum(self, box_min, box_max) -> bool:
-        """Conservative AABB-vs-frustum test (center/extent per plane)."""
-        center = (np.asarray(box_min, np.float32) + np.asarray(box_max, np.float32)) * np.float32(0.5)
-        extent = (np.asarray(box_max, np.float32) - np.asarray(box_min, np.float32)) * np.float32(0.5)
-        for plane in self.planes:
-            d = plane[:3] @ center + plane[3]
-            n = extent @ np.abs(plane[:3])
-            if d + n <= 0:  # fully outside this plane
-                return False
-        return True
+        """Conservative AABB-vs-frustum test (center/extent per plane).
+
+        All six planes evaluated in one stacked matvec — this runs once
+        per octree node in the selection DFS, where per-plane numpy
+        dispatch overhead dominated the engine's host frame time."""
+        box_min = np.asarray(box_min, np.float32)
+        box_max = np.asarray(box_max, np.float32)
+        center = (box_min + box_max) * np.float32(0.5)
+        extent = (box_max - box_min) * np.float32(0.5)
+        pm = self._plane_mat  # (6, 4), rows [n | d]
+        d = pm[:, :3] @ center + pm[:, 3]
+        n = self._plane_abs @ extent
+        return not bool(np.any(d + n <= 0))
 
     def __eq__(self, other) -> bool:
         return isinstance(other, Frustum) and np.allclose(self.mv, other.mv) and np.allclose(

@@ -43,6 +43,10 @@ class SelectVisibles(NodeVisitor):
         self._min_lod = int(min_lod)
         self._max_lod = int(max_lod)
         self._range = data_range
+        # No explicit clip set ⇒ the reference's default unit-box planes,
+        # which cannot clip any in-volume brick (world boxes are
+        # normalized to [-0.5, 0.5]) — skip the 6-plane test per node.
+        self._skip_clip = clip_planes is None or not clip_planes.planes
         self._clip_planes = clip_planes if clip_planes is not None else ClipPlanes()
         self.visibles: List[NodeId] = []
 
@@ -72,8 +76,9 @@ class SelectVisibles(NodeVisitor):
         wmin = np.asarray(lod_node.world_box_min, np.float32)
         wmax = np.asarray(lod_node.world_box_max, np.float32)
 
-        if not self._frustum.is_in_frustum(wmin, wmax) or self._clip_planes.is_clipped(
-            wmin, wmax
+        if not self._frustum.is_in_frustum(wmin, wmax) or (
+            not self._skip_clip
+            and self._clip_planes.is_clipped(wmin, wmax)
         ):
             state.visit_child = False
             return

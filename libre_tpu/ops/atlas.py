@@ -123,11 +123,26 @@ class BrickAtlas:
             self._data = self._upload(self._data, jnp.int32(slot), flat)
 
     def upload_many(self, slots, bricks_zyx: np.ndarray) -> None:
-        """Write a batch of bricks ((N, BZ, BY, BX)) in one device call."""
+        """Write a batch of bricks ((N, BZ, BY, BX)) in one device call.
+
+        The batch is padded to the next power of two by REPEATING the
+        last (slot, brick) pair (an idempotent rewrite): out-of-core
+        paging produces a different batch size every frame, and an
+        unpadded jit would recompile the scatter per size (~600 ms per
+        new size, measured to dominate the steady-state paging loop)."""
+        slots = np.asarray(slots, np.int32)
+        n = len(slots)
+        cap = 1 << max(0, (n - 1)).bit_length()
+        if cap != n:
+            pad = cap - n
+            slots = np.concatenate([slots, np.repeat(slots[-1:], pad)])
+            bricks_zyx = np.concatenate(
+                [bricks_zyx, np.repeat(bricks_zyx[-1:], pad, axis=0)]
+            )
         flat = jnp.asarray(self._flatten(bricks_zyx), self.dtype)
         with self._data_lock:
             self._data = self._upload_many(
-                self._data, jnp.asarray(slots, jnp.int32), flat
+                self._data, jnp.asarray(slots), flat
             )
 
     def gather(self, slots) -> jnp.ndarray:
