@@ -276,6 +276,8 @@ class RenderEngine:
         # Steady-state frame runners (host-side dispatch fast path),
         # keyed by (set_key, view statics); see render_bricked.
         self._frame_runners: Dict[tuple, object] = {}
+        # Exact-marcher plans (ops/exact_pallas), per camera x brick box.
+        self._exact_plans: Dict[tuple, object] = {}
 
     # ------------------------------------------------------------------ IO
     def _load_brick(self, cache_id: int) -> Tuple[np.ndarray, int]:
@@ -413,6 +415,7 @@ class RenderEngine:
         synchronous: bool = True,
         collect_histogram: bool = False,
         data_range: Tuple[float, float] = (0.0, 1.0),
+        marcher: str = "xla",
     ) -> Tuple[jnp.ndarray, RenderStatistics, Optional[Histogram]]:
         """Render one frame.
 
@@ -420,6 +423,13 @@ class RenderEngine:
         GLRaycastPipeline.cpp:128-208); otherwise renders whatever is
         resident, kicks async uploads, and reports rendering_done=False for
         progressive refinement (renderAsync, :241-308).
+
+        ``marcher`` selects the exact-sampling implementation: "xla"
+        (ops/raycast — compiles fast, marches slow) or "pallas"
+        (ops/exact_pallas — the r4 slab-bucketed kernel, ~200× faster
+        per frame on TPU but compiled per camera geometry; pick it for
+        camera paths re-rendered many times or offline stills).  Both
+        produce the same image (same sample grid and ownership rule).
         """
         vx, vy, vw, vh = camera.viewport
         visibles = self.select(
@@ -505,13 +515,19 @@ class RenderEngine:
             # runs through a jit cached per (brick count, ray count,
             # steps, params) — the hot path used to re-trace eagerly
             # every call, which dominated frame time on every backend.
-            fn = self._pass_renderer(
-                len(pass_nodes), dirs.shape[0], max_steps, params,
-                clip_arr,
-            )
-            rgb_a = fn(
-                brick_set, self.transfer_function, eye, dirs, tnp_, carry
-            )
+            if marcher == "pallas":
+                rgb_a = self._march_pass_pallas(
+                    brick_set, camera, params, clip_arr, carry
+                )
+            else:
+                fn = self._pass_renderer(
+                    len(pass_nodes), dirs.shape[0], max_steps, params,
+                    clip_arr,
+                )
+                rgb_a = fn(
+                    brick_set, self.transfer_function, eye, dirs, tnp_,
+                    carry,
+                )
             carry = (rgb_a[:, :3], rgb_a[:, 3])
             rendered_any = True
         if not rendered_any:
@@ -523,6 +539,59 @@ class RenderEngine:
             histogram = self.accumulate_histogram(order_nodes)
 
         return rgb_a.reshape(vh, vw, 4), stats, histogram
+
+    def _march_pass_pallas(
+        self, brick_set: BrickSet, camera: Camera, params: RenderParams,
+        clip_arr, carry,
+    ) -> jnp.ndarray:
+        """One memory-bounded pass through the Pallas exact marcher:
+        bricks march front-to-back with the carried per-ray (rgb, a),
+        each against its own cached ExactPlan (static per camera ×
+        brick geometry)."""
+        from libre_tpu.ops import exact_pallas as ep
+
+        interpret = jax.devices()[0].platform != "tpu"
+        half = np.asarray(self.info.world_size, np.float32) * 0.5
+        carry4 = jnp.concatenate([carry[0], carry[1][:, None]], axis=-1)
+        wmin = np.asarray(brick_set.world_min, np.float32)
+        wmax = np.asarray(brick_set.world_max, np.float32)
+        tmin = np.asarray(brick_set.tex_min, np.float32)
+        tmax = np.asarray(brick_set.tex_max, np.float32)
+        cam_key = (
+            np.asarray(camera.inv_proj, np.float32).tobytes(),
+            np.asarray(camera.inv_mv, np.float32).tobytes(),
+            tuple(camera.viewport),
+            float(camera.near),
+            params.n_samples_per_ray,
+            params.filter_mode,
+            params.data_source_range,
+            None if clip_arr is None else clip_arr.tobytes(),
+        )
+        for i in range(brick_set.num_bricks):
+            shape = tuple(int(s) for s in brick_set.data.shape[1:])
+            pkey = (
+                cam_key, wmin[i].tobytes(), wmax[i].tobytes(),
+                tmin[i].tobytes(), tmax[i].tobytes(), shape,
+            )
+            plan = self._exact_plans.get(pkey)
+            if plan is None:
+                plan = ep.plan_exact(
+                    camera, params, wmin[i], wmax[i], shape,
+                    tex_min=tmin[i], tex_max=tmax[i],
+                    global_min=-half, global_max=half,
+                    clip_planes=clip_arr,
+                )
+                if len(self._exact_plans) > 256:
+                    self._exact_plans.clear()
+                self._exact_plans[pkey] = plan
+            carry4 = ep.render_exact_rays(
+                brick_set.data[i].astype(jnp.float32),
+                self.transfer_function,
+                plan,
+                init_carry=carry4,
+                interpret=interpret,
+            )
+        return carry4
 
     # ---------------------------------------------------------- shearwarp
     def _level_volume(self, level: int, time_step: int = 0) -> np.ndarray:
