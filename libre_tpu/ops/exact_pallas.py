@@ -114,7 +114,7 @@ class ExactPlan:
     clip_planes: Optional[np.ndarray] = None  # for the XLA fallback rays
 
 
-def _host_make_rays(camera: Camera):
+def _host_make_rays(camera: Camera, sample_index: int = 0):
     """Per-ray constants via the SAME jnp ops the reference marcher
     uses, fetched to host.  Parity requires bitwise-equal ray geometry:
     the first in-box sample of every ray lies exactly ON the global-box
@@ -122,7 +122,8 @@ def _host_make_rays(camera: Camera):
     by f32 rounding — constants from an independent numpy replica flip
     those decisions (measured: ~1 entry sample per silhouette ray)."""
     eye, dirs, cos_z, _ = ray_ops.make_rays(
-        camera.inv_proj, camera.inv_mv, camera.viewport, sample_index=0
+        camera.inv_proj, camera.inv_mv, camera.viewport,
+        sample_index=sample_index,
     )
     return (
         np.asarray(eye, np.float32),
@@ -203,6 +204,7 @@ def plan_exact(
     clip_planes: Optional[np.ndarray] = None,
     axis: Optional[int] = None,
     max_slots: int = 48,
+    sample_index: int = 0,
 ) -> ExactPlan:
     """Build the static plan for one camera over one brick geometry.
 
@@ -222,7 +224,7 @@ def plan_exact(
     tmin = np.asarray(tex_min, np.float32)
     tmax = np.asarray(tex_max, np.float32)
 
-    eye, dirs, cos_z = _host_make_rays(camera)
+    eye, dirs, cos_z = _host_make_rays(camera, sample_index)
     n_rays = dirs.shape[0]
     t_near_plane = np.asarray(
         ray_ops.near_plane_t(jnp.asarray(cos_z), camera.near), np.float32
@@ -931,21 +933,29 @@ def render_exact(
     """Single-brick exact render → (H, W, 4), reference parity
     (configs 1-2).  Build the plan once per camera via ``plan_exact``
     and pass it to amortize host planning across frames."""
-    if plan is None:
-        plan = plan_exact(
-            camera,
-            params,
-            global_min,
-            global_max,
-            volume_zyx.shape,
-            clip_planes=clip_planes,
-            axis=axis,
-        )
-    vx, vy, vw, vh = plan.viewport
-    imgs = []
-    for _ in range(params.samples_per_pixel):
-        imgs.append(
-            render_exact_rays(volume_zyx, tf, plan, interpret=interpret)
-        )
-    out = sum(imgs) / float(params.samples_per_pixel)
+    plans: List[ExactPlan]
+    if plan is not None:
+        plans = [plan]
+    else:
+        # One plan per jittered subpixel sample (fragRaycast.glsl:
+        # 121-127 multi-sample rendering; index 0 = zero jitter).
+        plans = [
+            plan_exact(
+                camera,
+                params,
+                global_min,
+                global_max,
+                volume_zyx.shape,
+                clip_planes=clip_planes,
+                axis=axis,
+                sample_index=s,
+            )
+            for s in range(params.samples_per_pixel)
+        ]
+    vx, vy, vw, vh = plans[0].viewport
+    imgs = [
+        render_exact_rays(volume_zyx, tf, p, interpret=interpret)
+        for p in plans
+    ]
+    out = sum(imgs) / float(len(imgs))
     return out.reshape(vh, vw, 4)

@@ -173,3 +173,16 @@ def test_plan_reuse_is_pure():
     b = np.asarray(ep.render_exact(vol, tf, cam, params, plan=plan,
                                    interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_multi_sample_matches_reference():
+    """samples_per_pixel > 1: per-sample jittered ray plans averaged
+    like the reference's multi-sample loop (fragRaycast.glsl:121-127)."""
+    vol, tf, _ = make_scene(n=16, spr=32)
+    params = RenderParams(
+        n_samples_per_ray=32, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear", samples_per_pixel=2,
+        max_steps_per_brick=int(math.ceil(math.sqrt(3.0) * 32)) + 4,
+    )
+    cam = make_cam([0.2, 0.1, 1.4], img=16)
+    _compare(vol, tf, cam, params)
