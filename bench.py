@@ -294,8 +294,12 @@ def bench_exact(img, n_vox, spr):
             return s
         return jax.jit(f)
 
+    # Build each jitted chain ONCE: re-creating the jit per timed call
+    # re-traces the kernel graph every iteration (~6 s of host tracing
+    # masquerading as frame time).
+    chains = {m: chain(m) for m in (1, 3)}
     dt, t1, t3 = marginal(
-        lambda m: (lambda v: chain(m)(v, tf)), vol, m_lo=1, m_hi=3
+        lambda m: (lambda v: chains[m](v, tf)), vol, m_lo=1, m_hi=3
     )
     pallas_mrays = rays / dt / 1e6
     log(f"exact pallas fwd: {dt*1e3:.2f} ms/frame marginal, "
