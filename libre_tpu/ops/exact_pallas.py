@@ -18,19 +18,31 @@ arbitrary gather exists:
   sign); the two bracketing volume slices stream HBM→VMEM via
   scalar-prefetch BlockSpecs — the same streaming structure as the
   bricked fast path, now carrying exact per-ray sampling.
-* **Gather-free trilinear.**  Within a slab, a sample needs a bilinear
-  fetch at an arbitrary in-plane position.  The B (lane) axis tap is a
-  2-tap one-hot interpolation matrix contracted on the MXU
-  ((2·Nc, Nb)·(Nb, 128) per 128-ray slot); the C (sublane) axis tap and
-  the axis lerp fold into one masked sublane reduction.  Only the
-  transfer-function lookup gathers — the lane-wise
-  ``take_along_axis`` form Mosaic supports (ops/shearwarp_bricked.py).
-* **Exact compositing.**  Slots composite serially per ray in global
-  sample order with the reference's early-exit rule (skip a sample iff
-  accumulated alpha before it exceeds the threshold), opacity
-  correction, and data-range normalization — bitwise the same update as
-  ops/reference.composite.  Saturated ray rows skip their slot loops;
+* **Bounded-window trilinear.**  Within a slab, a sample needs a
+  bilinear fetch at an arbitrary in-plane position.  The B (lane) axis
+  taps are lane-wise ``take_along_axis`` gathers — the one 2-D gather
+  form Mosaic lowers (ops/shearwarp_bricked.py, ~1 tile/cycle) — over a
+  dynamic C-WINDOW of the slice pair: within one 128-ray row, a slab
+  crossing touches only a narrow c-band (host-verified bound, typically
+  8-16 rows of 64+), so the C-axis 2-tap mask-reduce and the axis lerp
+  run on (2·Wc, 128) tiles instead of the full slice height.  Per-slot
+  position math is batched over all candidate slots ((S, 128) VPU
+  blocks) before a statically unrolled fetch loop.
+* **Exact compositing, closed form.**  All of a slab's slots composite
+  at once through the exclusive-transmittance-product formulation with
+  the reference's EXACT early-exit rule (a sample is excluded iff
+  accumulated alpha before it exceeds the threshold — computable from
+  the unmasked prefix product because alpha is monotone; the same
+  closed form as ops/raycast._composite_chunk), plus a batched
+  two-half-table TF lookup.  Saturated ray rows skip their slot work;
   a fully saturated ray block skips remaining slabs via an SMEM flag.
+
+Measured on v5e (64³ → 256²×512, chained-frame marginal): 31.5 ms/frame
+= 2.08 Mrays/s, 229× the XLA gather marcher; saturating scenes 1.3 ms
+(50 Mrays/s) through the early-exit skips.  Optimization ladder:
+one-hot-MXU fetch + serial per-slot compositing 236 ms → gather fetch +
+per-row slot budgets 119 ms → c-window + batched TF + closed-form
+composite 31.5 ms.
 
 Rays whose direction component along the chosen axis is too small (their
 per-slab sample window would exceed ``max_slots``) are excluded on the

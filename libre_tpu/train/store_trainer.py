@@ -26,6 +26,14 @@ is DISABLED under grad (a step function of the parameters), and all
 views must share one major axis because the store is assembled in one
 axis permutation.  Uncovered (SENTINEL) voxels receive zero gradient
 through the coverage mask and are pinned by the update mask.
+
+Beyond the replicated-store data parallelism above, r4 adds MODEL
+parallelism: :func:`make_slab_loss_fn` shards the store itself 1/D per
+device on the brick axis (uniform slice slabs + ppermute halo
+exchange, fresh-carry plane-range segments through the same custom-VJP
+renderer, over-fold outside shard_map) with gradients equal to the
+replicated trainer — the decomposition that takes config 5 to ≥1024³
+(see benchmarks/demo_slab_train.py for the per-device HBM model).
 """
 
 from __future__ import annotations
