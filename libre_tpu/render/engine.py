@@ -1029,12 +1029,20 @@ class RenderEngine:
         max_lod: int = (1 << 4) - 1,
         clip_planes: Optional[ClipPlanes] = None,
         time_step: int = 0,
+        synchronous: bool = True,
         data_range: Tuple[float, float] = (0.0, 1.0),
         n_planes: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, RenderStatistics]:
         """Multi-device bricked frame over a (brick × ray) mesh — the
         engine face of BASELINE config 4 (large multi-brick volume,
         decomposed across a device mesh).
+
+        ``synchronous=False`` renders the RENDERING SET (each missing
+        brick replaced by its nearest resident ancestor), kicks async
+        uploads, and reports rendering_done=False — progressive
+        refinement on the sharded path (r3 missing 3; the reference's
+        per-channel RenderingSetGenerator fallback,
+        GLRaycastPipeline.cpp:241-308).
 
         Sort-last: the brick axis splits the GLOBAL plane grid into
         front-to-back slabs, each device receiving only the assembled
@@ -1060,9 +1068,22 @@ class RenderEngine:
             data_range, clip_planes, time_step,
         )
         stats = RenderStatistics()
-        self.prefetch_batch(visibles)
-        render_nodes = list(visibles)
+        if synchronous:
+            self.prefetch_batch(visibles)
+            render_nodes = list(visibles)
+            stats.rendering_done = True
+        else:
+            render_nodes, done = compute_rendering_set(
+                visibles, self.is_resident
+            )
+            stats.rendering_done = done
+            for node in visibles:
+                if not self.is_resident(node):
+                    stats.pending_uploads.append(
+                        self._upload_pool.submit(self._upload_node, node)
+                    )
         stats.n_available = len(render_nodes)
+        stats.n_not_available = len(visibles) - len(render_nodes)
         stats.n_render_available = len(render_nodes)
         if not render_nodes:
             return jnp.zeros((vh, vw, 4), jnp.float32), stats
@@ -1118,7 +1139,7 @@ class RenderEngine:
             store, _content, plan = cached
             slabs, a_base = store, None
         else:
-            entries = [self._upload_node(n).pin() for n in render_nodes]
+            entries = [e.pin() for e in self._upload_nodes(render_nodes)]
             try:
                 slot_of = {
                     n.id: e.value for n, e in zip(render_nodes, entries)
