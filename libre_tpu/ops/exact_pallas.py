@@ -301,7 +301,7 @@ def plan_exact(
         if not sel.any():
             continue
         qmin = float(qa.min())
-        smax = int(math.ceil(1.0 / qmin)) + 3
+        smax = int(math.ceil(1.0 / qmin)) + 2
         extra = int(math.ceil(0.6 / qmin)) + 1
         gidx = np.where(sel)[0]
         w_c = _c_window_bound(
@@ -449,10 +449,10 @@ def _make_exact_kernel(
             rows_s = jax.lax.broadcasted_iota(
                 jnp.int32, (s_tot, 128), 0
             ).astype(jnp.float32)
-            # Window-relative c rows, [0..Wc) twice (lo half, hi half).
-            cr2 = jax.lax.broadcasted_iota(jnp.int32, (two_w, 128), 0)
-            is_lo2 = (cr2 < w_c).astype(jnp.float32)
-            crf2 = jnp.where(cr2 >= w_c, cr2 - w_c, cr2).astype(jnp.float32)
+            # Window-relative c rows, [0..Wc).
+            crf_w = jax.lax.broadcasted_iota(
+                jnp.int32, (w_c, 128), 0
+            ).astype(jnp.float32)
 
             def row_body(i, _):
                 d_a = ray_ref[0, pl.ds(i, 1), :]
@@ -555,6 +555,16 @@ def _make_exact_kernel(
                             [m[:smax], m[smax:] * edge], axis=0
                         )
 
+                    # Fused per-slot weights: c-tap × axis-lerp factors
+                    # (batched here so the fetch loop multiplies two
+                    # masks instead of building them).
+                    one_wa = 1.0 - wa
+                    one_wc = 1.0 - wc
+                    wl0 = one_wc * one_wa
+                    wl1 = wc * one_wa
+                    wh0 = one_wc * wa
+                    wh1 = wc * wa
+
                     # c-window base: host guarantees every owned sample's
                     # c-taps fit in [c_base, c_base + Wc).
                     c_masked = jnp.where(m > 0.0, i0c, dim_c_f)
@@ -586,16 +596,25 @@ def _make_exact_kernel(
                         )
                         v0 = jnp.take_along_axis(win, b0i, axis=1)
                         v1 = jnp.take_along_axis(win, b1i, axis=1)
-                        bl = v0 * (1.0 - wb[s : s + 1]) + v1 * wb[s : s + 1]
-                        f_az = jnp.where(
-                            is_lo2 > 0.0, 1.0 - wa[s : s + 1], wa[s : s + 1]
+                        wb_s = wb[s : s + 1]
+                        bl_lo = (
+                            v0[:w_c] * (1.0 - wb_s) + v1[:w_c] * wb_s
                         )
-                        maskc = (
-                            (crf2 == c0_rel[s : s + 1]) * (1.0 - wc[s : s + 1])
-                            + (crf2 == c1_rel[s : s + 1]) * wc[s : s + 1]
-                        ) * f_az
+                        bl_hi = (
+                            v0[w_c:] * (1.0 - wb_s) + v1[w_c:] * wb_s
+                        )
+                        eq0 = (crf_w == c0_rel[s : s + 1]).astype(
+                            jnp.float32
+                        )
+                        eq1 = (crf_w == c1_rel[s : s + 1]).astype(
+                            jnp.float32
+                        )
+                        m_lo = eq0 * wl0[s : s + 1] + eq1 * wl1[s : s + 1]
+                        m_hi = eq0 * wh0[s : s + 1] + eq1 * wh1[s : s + 1]
                         dens_ref[s : s + 1, :] = jnp.sum(
-                            maskc * bl, axis=0, keepdims=True
+                            m_lo * bl_lo + m_hi * bl_hi,
+                            axis=0,
+                            keepdims=True,
                         )
 
                     for s in range(smax):
