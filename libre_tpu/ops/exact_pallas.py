@@ -60,8 +60,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,7 +69,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from libre_tpu.ops import rays as ray_ops
-from libre_tpu.ops.reference import ALPHA_CLAMP, BrickSet, Camera, RenderParams
+from libre_tpu.ops.reference import ALPHA_CLAMP, Camera, RenderParams
 
 TF_SIZE = 256
 

@@ -91,3 +91,22 @@ class BrickedRenderer(RendererPlugin):
             camera, frustum, params=params, **kw
         )
         return img
+
+
+@register_renderer("pallas-exact")
+class PallasExactRenderer(RendererPlugin):
+    """The r4 slab-bucketed Pallas exact marcher behind the engine's
+    general-camera path (ops/exact_pallas.py): the reference's sample
+    grid and ownership rule at kernel speed — compiled per camera
+    geometry, so best for camera paths and offline stills."""
+
+    def render(self, engine, camera, frustum, *, params=None, **kwargs):
+        allowed = {
+            "screen_space_error", "min_lod", "max_lod", "clip_planes",
+            "time_step", "synchronous", "data_range",
+        }
+        kw = {k: v for k, v in kwargs.items() if k in allowed}
+        img, _stats, _h = engine.render(
+            camera, frustum, params=params, marcher="pallas", **kw
+        )
+        return img
