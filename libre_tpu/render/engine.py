@@ -479,59 +479,71 @@ class RenderEngine:
         order_nodes = self._sort_nodes(render_nodes, eye_np)
         batch = max(1, self.atlas.n_slots - 1)
 
-        eye, dirs, cos_z, _ = ray_ops.make_rays(
-            camera.inv_proj, camera.inv_mv, camera.viewport
-        )
-        dirs = dirs.reshape(-1, 3)
-        tnp_ = ray_ops.near_plane_t(cos_z.reshape(-1), camera.near)
-
         max_steps = self._max_steps(order_nodes, params)
         clip_arr = (
             clip_planes.as_array() if clip_planes is not None else None
         )
-        carry = (
-            jnp.zeros((dirs.shape[0], 3), jnp.float32),
-            jnp.zeros((dirs.shape[0],), jnp.float32),
-        )
-        rendered_any = False
         histogram: Optional[Histogram] = None
-        for start in range(0, max(len(order_nodes), 1), batch):
-            pass_nodes = order_nodes[start : start + batch]
-            if not pass_nodes:
-                break
-            stats.n_passes += 1
-            entries = [e.pin() for e in self._upload_nodes(pass_nodes)]
-            try:
-                brick_set = self._brick_set_for(
-                    pass_nodes, [e.value for e in entries]
-                )
-            finally:
-                for e in entries:
-                    e.unpin()
-            # The carried per-ray (rgb, a) is the accumulation texture
-            # persisting across memory-bounded passes (fragRaycast.glsl:115,
-            # GLRaycastPipeline.cpp:148-186); threading it through keeps
-            # early termination exact across pass boundaries.  The pass
-            # runs through a jit cached per (brick count, ray count,
-            # steps, params) — the hot path used to re-trace eagerly
-            # every call, which dominated frame time on every backend.
-            if marcher == "pallas":
-                rgb_a = self._march_pass_pallas(
-                    brick_set, camera, params, clip_arr, carry
-                )
-            else:
-                fn = self._pass_renderer(
-                    len(pass_nodes), dirs.shape[0], max_steps, params,
-                    clip_arr,
-                )
-                rgb_a = fn(
-                    brick_set, self.transfer_function, eye, dirs, tnp_,
-                    carry,
-                )
-            carry = (rgb_a[:, :3], rgb_a[:, 3])
-            rendered_any = True
-        if not rendered_any:
-            rgb_a = jnp.zeros((vw * vh, 4), jnp.float32)
+
+        # One jittered subpixel ray batch per sample, averaged — the
+        # reference's multi-sample loop (fragRaycast.glsl:121-127).
+        sample_imgs = []
+        for si in range(max(1, params.samples_per_pixel)):
+            eye, dirs, cos_z, _ = ray_ops.make_rays(
+                camera.inv_proj, camera.inv_mv, camera.viewport,
+                sample_index=si,
+            )
+            dirs = dirs.reshape(-1, 3)
+            tnp_ = ray_ops.near_plane_t(cos_z.reshape(-1), camera.near)
+            carry = (
+                jnp.zeros((dirs.shape[0], 3), jnp.float32),
+                jnp.zeros((dirs.shape[0],), jnp.float32),
+            )
+            rendered_any = False
+            for start in range(0, max(len(order_nodes), 1), batch):
+                pass_nodes = order_nodes[start : start + batch]
+                if not pass_nodes:
+                    break
+                if si == 0:
+                    stats.n_passes += 1
+                entries = [
+                    e.pin() for e in self._upload_nodes(pass_nodes)
+                ]
+                try:
+                    brick_set = self._brick_set_for(
+                        pass_nodes, [e.value for e in entries]
+                    )
+                finally:
+                    for e in entries:
+                        e.unpin()
+                # The carried per-ray (rgb, a) is the accumulation
+                # texture persisting across memory-bounded passes
+                # (fragRaycast.glsl:115, GLRaycastPipeline.cpp:148-186);
+                # threading it through keeps early termination exact
+                # across pass boundaries.  The pass runs through a jit
+                # cached per (brick count, ray count, steps, params) —
+                # the hot path used to re-trace eagerly every call,
+                # which dominated frame time on every backend.
+                if marcher == "pallas":
+                    rgb_a = self._march_pass_pallas(
+                        brick_set, camera, params, clip_arr, carry,
+                        sample_index=si,
+                    )
+                else:
+                    fn = self._pass_renderer(
+                        len(pass_nodes), dirs.shape[0], max_steps,
+                        params, clip_arr,
+                    )
+                    rgb_a = fn(
+                        brick_set, self.transfer_function, eye, dirs,
+                        tnp_, carry,
+                    )
+                carry = (rgb_a[:, :3], rgb_a[:, 3])
+                rendered_any = True
+            if not rendered_any:
+                rgb_a = jnp.zeros((vw * vh, 4), jnp.float32)
+            sample_imgs.append(rgb_a)
+        rgb_a = sum(sample_imgs) / float(len(sample_imgs))
 
         stats.n_render_available = len(order_nodes)
 
@@ -542,7 +554,7 @@ class RenderEngine:
 
     def _march_pass_pallas(
         self, brick_set: BrickSet, camera: Camera, params: RenderParams,
-        clip_arr, carry,
+        clip_arr, carry, sample_index: int = 0,
     ) -> jnp.ndarray:
         """One memory-bounded pass through the Pallas exact marcher:
         bricks march front-to-back with the carried per-ray (rgb, a),
@@ -566,6 +578,7 @@ class RenderEngine:
             params.filter_mode,
             params.data_source_range,
             None if clip_arr is None else clip_arr.tobytes(),
+            sample_index,
         )
         for i in range(brick_set.num_bricks):
             shape = tuple(int(s) for s in brick_set.data.shape[1:])
@@ -580,6 +593,7 @@ class RenderEngine:
                     tex_min=tmin[i], tex_max=tmax[i],
                     global_min=-half, global_max=half,
                     clip_planes=clip_arr,
+                    sample_index=sample_index,
                 )
                 if len(self._exact_plans) > 256:
                     self._exact_plans.clear()
