@@ -177,3 +177,25 @@ def test_engine_renders_uvf_end_to_end(source):
     # Different sample parameterizations (ray-uniform vs axis-uniform)
     # bound the pointwise agreement, not bit-exactness.
     assert np.abs(e - f).mean() < 0.05
+
+
+def test_uvf_native_batch_matches_serial(source):
+    """UVF batch reads through the native brickio pool equal the serial
+    Python reader brick-for-brick (incl. edge bricks via fallback)."""
+    import itertools
+
+    from libre_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native brickio unavailable")
+    level = source.volume_info.root_node.depth - 1
+    nx, ny, nz = source.volume_info.root_node.block_count
+    nodes = [
+        NodeId.from_coords(level, p)
+        for p in itertools.product(range(nx), range(ny), range(nz))
+    ]
+    serial = [source.get_data(n) for n in nodes]
+    batch = source.get_data_batch(nodes)
+    assert len(batch) == len(serial)
+    for a, b in zip(serial, batch):
+        np.testing.assert_array_equal(a, b)
