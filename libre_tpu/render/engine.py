@@ -321,7 +321,12 @@ class RenderEngine:
                 self.atlas.slot_bytes * len(missing)
             )
             slots = [self.atlas.acquire() for _ in missing]
-            self.atlas.upload_many(slots, np.stack(datas))
+            try:
+                self.atlas.upload_many(slots, np.stack(datas))
+            except Exception:
+                for s in slots:
+                    self.atlas.release(s)
+                raise
             for n, s in zip(missing, slots):
                 e = self.texture_cache.load(
                     n.id,
