@@ -79,6 +79,12 @@ def main(argv: Optional[list] = None) -> int:
     grab = sub.add_parser("grab", help="render + save a JPEG")
     grab.add_argument("--output", default="frame.jpg")
 
+    lay = sub.add_parser(
+        "layout", help="get/set the multi-view layout ('l' key semantics)"
+    )
+    lay.add_argument("--name", choices=["single", "1x2", "2x2"])
+    lay.add_argument("--cycle", type=int, help="step ±N through layouts")
+
     sub.add_parser("histogram", help="fetch the current histogram")
     sub.add_parser("stats", help="fetch cache/render statistics")
     sub.add_parser("exit", help="shut the service down")
@@ -137,6 +143,16 @@ def main(argv: Optional[list] = None) -> int:
         if body:
             _call(f"{base}/params", "PUT", body)
         print(json.dumps(_call(f"{base}/params"), indent=2))
+    elif args.cmd == "layout":
+        body = {}
+        if args.name:
+            body["name"] = args.name
+        if args.cycle is not None:
+            body["cycle"] = args.cycle
+        if body:
+            print(json.dumps(_call(f"{base}/layout", "PUT", body), indent=2))
+        else:
+            print(json.dumps(_call(f"{base}/layout"), indent=2))
     elif args.cmd == "frame":
         if args.number is not None:
             _call(f"{base}/frame", "PUT", {"frame_number": args.number})
