@@ -389,6 +389,7 @@ def _make_exact_kernel(
     early_exit: float,
     trilinear: bool,
     sign: int,
+    check_window: bool = False,
 ):
     """Kernel body factory; all geometry is compile-time static.
 
@@ -416,7 +417,7 @@ def _make_exact_kernel(
     w_c = min(w_c, nc_pad)
     two_w = 2 * w_c
 
-    def kernel(
+    def _body(
         idx0_ref,  # (A,) i32 scalar prefetch: slab index at grid step j
         idx1_ref,  # (A,) i32: hi-slice index (min(k+1, na-1))
         lo_ref,  # (1, nc_pad, nb_pad) slice k
@@ -429,6 +430,7 @@ def _make_exact_kernel(
         dens_ref,  # scratch (s_tot, 128) per-slot raw densities
         done_ref,  # SMEM (1,) i32: this ray block fully saturated
         any_ref,  # SMEM (1,) i32: any row still active this slab
+        ovf_ref=None,  # (1, 8, 128) f32 c-window overflow flag (debug)
     ):
         j = pl.program_id(1)
 
@@ -436,6 +438,8 @@ def _make_exact_kernel(
         def _():
             out_ref[:] = cin_ref[:]
             done_ref[0] = 0
+            if check_window:
+                ovf_ref[0] = jnp.zeros((8, 128), jnp.float32)
 
         @pl.when(done_ref[0] == 0)
         def _():
@@ -573,6 +577,18 @@ def _make_exact_kernel(
                     c_base = c_base_f.astype(jnp.int32)
                     c0_rel = i0c - c_base_f
                     c1_rel = i1c - c_base_f
+                    if check_window:
+                        # Belt-and-braces: a member sample whose c-taps
+                        # fall outside the host-bounded window would
+                        # silently contribute zero — record it loudly.
+                        bad = m * (
+                            (c0_rel < 0.0)
+                            | (c1_rel > float(w_c - 1))
+                        ).astype(jnp.float32)
+                        ovf_ref[0, :1, :] = jnp.maximum(
+                            ovf_ref[0, :1, :],
+                            jnp.max(bad, axis=0, keepdims=True),
+                        )
                     i0b_i = i0b.astype(jnp.int32)
                     i1b_i = i1b.astype(jnp.int32)
 
@@ -718,6 +734,18 @@ def _make_exact_kernel(
             def _():
                 done_ref[0] = 1
 
+    # Pallas passes OUTPUT refs before scratch refs: adapt the signature
+    # to the one- or two-output layout.
+    if check_window:
+
+        def kernel(i0, i1, lo, hi, tf, ray, cin, out, ovf, vc, de, do, an):
+            _body(i0, i1, lo, hi, tf, ray, cin, out, vc, de, do, an, ovf)
+
+    else:
+
+        def kernel(i0, i1, lo, hi, tf, ray, cin, out, vc, de, do, an):
+            _body(i0, i1, lo, hi, tf, ray, cin, out, vc, de, do, an, None)
+
     return kernel
 
 
@@ -733,6 +761,7 @@ def _march_group(
     nc: int,
     rrb: int,
     interpret: bool,
+    check_window: bool = False,
 ) -> jnp.ndarray:
     na, nc_pad, nb_pad = vol_perm.shape
     rr = ray_pack.shape[1]
@@ -747,6 +776,7 @@ def _march_group(
 
     lo_, hi_ = p.data_source_range
     kernel = _make_exact_kernel(
+        check_window=check_window,
         na=na,
         nb=nb,
         nc=nc,
@@ -796,7 +826,14 @@ def _march_group(
             pl.BlockSpec((8, rrb, 128), lambda rbi, j, i0, i1: (0, rbi, 0)),
             pl.BlockSpec((4, rrb, 128), lambda rbi, j, i0, i1: (0, rbi, 0)),
         ],
-        out_specs=pl.BlockSpec(
+        out_specs=(
+            pl.BlockSpec(
+                (4, rrb, 128), lambda rbi, j, i0, i1: (0, rbi, 0)
+            ),
+            pl.BlockSpec((1, 8, 128), lambda rbi, j, i0, i1: (rbi, 0, 0)),
+        )
+        if check_window
+        else pl.BlockSpec(
             (4, rrb, 128), lambda rbi, j, i0, i1: (0, rbi, 0)
         ),
         scratch_shapes=[
@@ -806,10 +843,18 @@ def _march_group(
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
+    out_shape = (
+        (
+            jax.ShapeDtypeStruct((4, rr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rb, 8, 128), jnp.float32),
+        )
+        if check_window
+        else jax.ShapeDtypeStruct((4, rr, 128), jnp.float32)
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, rr, 128), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(jnp.asarray(order), jnp.asarray(idx1), vol_perm, vol_perm, tfmat,
       ray_pack, carry_in)
@@ -871,8 +916,14 @@ def render_exact_rays(
     vol_perm: Optional[jnp.ndarray] = None,
     interpret: bool = False,
     rrb: int = 64,
+    check_window: bool = False,
 ) -> jnp.ndarray:
     """March the full flat ray batch of ``plan`` → (R, 4) rgba.
+
+    ``check_window=True`` additionally verifies IN-KERNEL that every
+    owned sample's c-taps landed inside the host-bounded c-window and
+    raises if not — a debug belt-and-braces against a wrong window
+    bound silently dropping samples (costs a host sync per group).
 
     Jit-friendly: ``volume_zyx`` and ``tf`` are the only runtime
     operands (plus the optional carry); everything else is baked from
@@ -909,7 +960,16 @@ def render_exact_rays(
             nc=plan.brick_shape[2 - plan.c_axis],
             rrb=rrb_g,
             interpret=interpret,
+            check_window=check_window,
         )  # (4, RR, 128)
+        if check_window:
+            res, ovf = res
+            if float(jnp.max(ovf)) > 0.0:
+                raise RuntimeError(
+                    "exact_pallas: c-window overflow — an owned "
+                    "sample's taps fell outside the host-bounded "
+                    f"window (group sign={group.sign}, w_c={group.w_c})"
+                )
         res = jnp.transpose(res, (1, 2, 0)).reshape(rr * 128, 4)
         out = out.at[group.ray_idx].set(res[: len(group.ray_idx)])
 

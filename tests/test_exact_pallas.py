@@ -186,3 +186,30 @@ def test_multi_sample_matches_reference():
     )
     cam = make_cam([0.2, 0.1, 1.4], img=16)
     _compare(vol, tf, cam, params)
+
+
+def test_c_window_overflow_detection():
+    """check_window: a deliberately shrunken c-window must be caught by
+    the in-kernel overflow flag, and the healthy bound must pass."""
+    import dataclasses
+
+    vol, tf, params = make_scene(n=32, spr=64)
+    cam = make_cam([0.4, 0.45, 1.2])  # tilted: real c-motion per slab
+    plan = ep.plan_exact(cam, params, GMIN, GMAX, vol.shape)
+    # Healthy: no overflow.
+    out = ep.render_exact_rays(
+        vol, tf, plan, interpret=True, check_window=True
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    # Sabotaged: clamp the window far below the host bound.
+    bad_groups = tuple(
+        dataclasses.replace(g, w_c=8) if g.w_c > 8 else g
+        for g in plan.groups
+    )
+    if all(g.w_c == o.w_c for g, o in zip(bad_groups, plan.groups)):
+        pytest.skip("bound already minimal for this view")
+    bad_plan = dataclasses.replace(plan, groups=bad_groups)
+    with pytest.raises(RuntimeError, match="c-window overflow"):
+        ep.render_exact_rays(
+            vol, tf, bad_plan, interpret=True, check_window=True
+        )
