@@ -118,6 +118,8 @@ class ExactPlan:
     world_max: np.ndarray
     tex_min: np.ndarray
     tex_max: np.ndarray
+    global_min: np.ndarray  # global sample-grid box (== world box when
+    global_max: np.ndarray  # the brick IS the whole volume)
     brick_shape: Tuple[int, int, int]  # (Z, Y, X)
     params: RenderParams
     n_rays: int
@@ -357,6 +359,8 @@ def plan_exact(
         world_max=wmax,
         tex_min=tmin,
         tex_max=tmax,
+        global_min=gmin,
+        global_max=gmax,
         brick_shape=tuple(int(s) for s in brick_shape),
         params=params,
         n_rays=n_rays,
@@ -975,18 +979,25 @@ def render_exact_rays(
 
     if len(plan.fallback_idx):
         from libre_tpu.ops import raycast
-        from libre_tpu.ops.reference import single_brick_set
+        from libre_tpu.ops.reference import BrickSet
 
+        # Fallback rays march the SAME brick on the SAME global sample
+        # grid as the kernel rays: the brick's world box with its atlas
+        # tex inset, and the GLOBAL volume box anchoring t_n (advisor
+        # r4: anchoring the grid to the brick box broke decomposition
+        # invariance for exactly the rays the kernel cannot serve).
         idx = plan.fallback_idx
-        bricks = single_brick_set(
-            volume_zyx,
-            world_min=tuple(plan.world_min),
-            world_max=tuple(plan.world_max),
+        bricks = BrickSet(
+            data=jnp.asarray(volume_zyx, jnp.float32)[None],
+            world_min=jnp.asarray([plan.world_min], jnp.float32),
+            world_max=jnp.asarray([plan.world_max], jnp.float32),
+            tex_min=jnp.asarray([plan.tex_min], jnp.float32),
+            tex_max=jnp.asarray([plan.tex_max], jnp.float32),
         )
         fb_carry = out[idx]
         max_steps = int(
             math.ceil(
-                float(np.linalg.norm(plan.world_max - plan.world_min))
+                float(np.linalg.norm(plan.global_max - plan.global_min))
                 / plan.params.step_size
             )
         ) + 4
@@ -997,8 +1008,8 @@ def render_exact_rays(
             jnp.asarray(plan.dirs[idx]),
             jnp.asarray(plan.t_near_plane[idx]),
             plan.params,
-            plan.world_min,
-            plan.world_max,
+            plan.global_min,
+            plan.global_max,
             clip_planes=plan.clip_planes,
             max_steps=max_steps,
             init_carry=(fb_carry[:, :3], fb_carry[:, 3]),

@@ -220,6 +220,13 @@ def make_slab_loss_fn(problem: StoreProblem, mesh: Mesh):
             f"na={na} K={problem.k_planes} V={V} must divide mesh "
             f"axes {d_k}x{d_v}"
         )
+    if problem.k_planes < na:
+        # One halo slice suffices only when planes are at least as
+        # dense as slices; sparser planes can need slice (kd+1)·na_l+1,
+        # which the a1 clamp would silently redirect (advisor r4).
+        raise ValueError(
+            f"slab mode requires k_planes >= na ({problem.k_planes} < {na})"
+        )
     na_l = na // d_k
     k_l = problem.k_planes // d_k
     v_l = V // d_v
