@@ -250,3 +250,58 @@ def test_composite_along_axis_matches_gather_fold():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
                                atol=1e-5)
+
+
+def test_composite_direct_send_matches_gather_fold():
+    """Direct-send (all_to_all, tile-owned) compositing reassembles to
+    the same image as the replicated gather+fold, and differentiates."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from libre_tpu.parallel.compositing import (
+        composite_direct_send,
+        fold_over,
+    )
+    from libre_tpu.parallel.mesh import BRICK_AXIS, make_mesh
+
+    mesh = make_mesh(n_brick=8, n_ray=1)
+    rng = np.random.default_rng(5)
+    # 8 segments x 32 rays (each device owns a 4-ray subtile).
+    rgb = jnp.asarray(rng.random((8, 32, 3), dtype=np.float32))
+    a = jnp.asarray(rng.random((8, 32), dtype=np.float32) * 0.6)
+
+    def body(rgb_l, a_l):
+        r, al = composite_direct_send(rgb_l[0], a_l[0], BRICK_AXIS)
+        return jnp.concatenate([r, al[..., None]], axis=-1)
+
+    out = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(BRICK_AXIS), P(BRICK_AXIS)),
+        out_specs=P(BRICK_AXIS),  # tile-owned rows reassemble in rank order
+    )(rgb, a)  # (32, 4)
+    ref_rgb, ref_a = fold_over(rgb, a)
+    np.testing.assert_allclose(np.asarray(out[..., :3]), np.asarray(ref_rgb),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[..., 3]), np.asarray(ref_a),
+                               atol=1e-6)
+
+    # Differentiability (all_to_all transposes to the reverse exchange).
+    def loss_ds(rgb, a):
+        per = shard_map(
+            body, mesh=mesh, in_specs=(P(BRICK_AXIS), P(BRICK_AXIS)),
+            out_specs=P(BRICK_AXIS),
+        )(rgb, a)
+        return jnp.sum(per ** 2)
+
+    def loss_fold(rgb, a):
+        r, al = fold_over(rgb, a)
+        return jnp.sum(r ** 2) + jnp.sum(al ** 2)
+
+    g1 = jax.grad(loss_ds, argnums=(0, 1))(rgb, a)
+    g2 = jax.grad(loss_fold, argnums=(0, 1))(rgb, a)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               atol=1e-5)
