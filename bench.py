@@ -305,6 +305,71 @@ def bench_exact(img, n_vox, spr):
     log(f"exact pallas fwd: {dt*1e3:.2f} ms/frame marginal, "
         f"{pallas_mrays:.3f} Mrays/s (t1={t1*1e3:.1f} t3={t3*1e3:.1f})")
 
+    # Orbit steady state: a NEW camera EVERY frame (the r5
+    # camera-agnostic contract) — each frame re-plans in numpy and
+    # reuses the compiled frame function; compile_count() must not move
+    # after warmup.  Frames stream without per-frame blocking (the
+    # interactive serving pattern; per-dispatch transport on the
+    # tunneled bench host would otherwise dominate).
+    def orbit_cams(n, phase=0.0):
+        return [
+            make_camera(
+                [0.25 * math.cos(a + phase) + 0.03, 0.1,
+                 1.4 + 0.08 * math.sin(a + phase)], img,
+            )
+            for a in np.linspace(0.0, 1.0, n)
+        ]
+
+    vol_perm = ep.permute_volume(vol, plan)
+
+    def orbit_run(cams_run):
+        """Streaming orbit: numpy planning runs on a 2-frame look-ahead
+        thread pool while the device marches the current frame (the
+        reference's async host pipeline, GLRaycastPipeline.cpp:58-75);
+        dispatches enqueue without blocking."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        outs = []
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(3) as pool:
+            futs = [
+                pool.submit(
+                    ep.plan_exact, c, params, gmin, gmax, vol.shape
+                )
+                for c in cams_run[:3]
+            ]
+            for i, _cam in enumerate(cams_run):
+                p_i = futs[i].result()
+                if i + 3 < len(cams_run):
+                    futs.append(
+                        pool.submit(
+                            ep.plan_exact, cams_run[i + 3], params,
+                            gmin, gmax, vol.shape,
+                        )
+                    )
+                outs.append(
+                    ep.render_exact_rays(vol, tf, p_i, vol_perm=vol_perm)
+                )
+        jax.block_until_ready(outs[-1])
+        return time.perf_counter() - t0
+
+    # One warm lap over the SAME orbit compiles every tier signature
+    # the path crosses (a handful; an orbiting viewer then loops the
+    # path forever at zero recompiles — each lap still re-plans every
+    # camera in numpy and re-packs runtime operands).
+    cams12 = orbit_cams(12)
+    orbit_run(cams12)
+    c_warm = ep.compile_count()
+    t_lo = min(orbit_run(cams12[:2]) for _ in range(2))
+    t_hi = min(orbit_run(cams12) for _ in range(2))
+    dt_orbit = (t_hi - t_lo) / 10
+    assert ep.compile_count() == c_warm, (
+        f"orbit recompiled: {c_warm} -> {ep.compile_count()}"
+    )
+    orbit_mrays = rays / dt_orbit / 1e6
+    log(f"exact orbit (new camera/frame): {dt_orbit*1e3:.2f} ms/frame, "
+        f"{orbit_mrays:.3f} Mrays/s, 0 recompiles after warmup")
+
     bricks = single_brick_set(vol)
     f = jax.jit(
         lambda b, t: raycast.render(
@@ -314,7 +379,7 @@ def bench_exact(img, n_vox, spr):
     dt_x = timed_scalar(lambda b, t: f(b, t), bricks, tf, iters=1)
     xla_mrays = rays / dt_x / 1e6
     log(f"exact xla fwd: {dt_x*1e3:.2f} ms/frame, {xla_mrays:.4f} Mrays/s")
-    return pallas_mrays, xla_mrays
+    return pallas_mrays, xla_mrays, orbit_mrays
 
 
 def bench_engine_frame(img=256):
@@ -374,8 +439,14 @@ def _ooc_artifact():
     """Committed config-3 at-scale run (benchmarks/demo_out_of_core.py,
     1024^3 lod:// store, orbit path, atlas paging live) if present."""
     import os
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "OOC_RUN_r04.json")
+    path = os.path.dirname(os.path.abspath(__file__))
+    for name in ("OOC_RUN_r05.json", "OOC_RUN_r04.json"):
+        cand = os.path.join(path, name)
+        if os.path.exists(cand):
+            path = cand
+            break
+    else:
+        return None
     if not os.path.exists(path):
         return None
     with open(path) as f:
@@ -402,7 +473,9 @@ def main():
     bwd_mrays = bench_store_bwd(img, spr, store, dims, tf)
     dense_mrays = bench_dense_preclassified(img, 64, spr, tf)
     engine_ms, engine_blocking_ms = bench_engine_frame(img)
-    exact_mrays, exact_xla_mrays = bench_exact(img, 64, spr)
+    exact_mrays, exact_xla_mrays, exact_orbit_mrays = bench_exact(
+        img, 64, spr
+    )
 
     print(
         json.dumps(
@@ -422,13 +495,19 @@ def main():
                         engine_blocking_ms, 2
                     ),
                     "exact_fwd_mrays": round(exact_mrays, 4),
+                    "exact_orbit_mrays": round(exact_orbit_mrays, 4),
                     "exact_xla_fwd_mrays": round(exact_xla_mrays, 4),
                     "out_of_core_1024": _ooc_artifact(),
                     "continuity": "dense_preclassified IS the r02 "
                     "headline workload (64^3 seed-0 noise, same chained "
-                    "frames); r03's 36.6 was dispatch-jitter over an "
-                    "8-frame margin, not a kernel change — r04 widens "
-                    "the margin to 40 frames",
+                    "frames).  r02 (62.2) and r03 (36.6) BOTH used the "
+                    "original 8-frame margin (m_hi=10): the tunneled "
+                    "host's +-5-8 ms per-call dispatch jitter over an "
+                    "8-frame span swings the marginal +-40% in either "
+                    "direction, so 62.2 and 36.6 are the two tails of "
+                    "the same kernel's jitter envelope, not kernel "
+                    "changes.  r04+ widen the margin to 40 frames "
+                    "(m_hi=42); the ~50 figure is the stable estimate.",
                     "workloads": "store 256^3 -> 256^2 x 512 planes (post-TF, "
                     "early exit); fwd+bwd same shape (no early exit); dense "
                     "64^3 preclassified; engine mem:// 64^3 end-to-end; "

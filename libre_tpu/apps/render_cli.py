@@ -57,6 +57,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         ("height", "Image height", 512),
         ("output-dir", "Output directory for frames", "."),
         ("format", "Image format [png|jpg]", "png"),
+        ("mesh", "Device mesh RxB (ray x brick axes, e.g. 4x2) or "
+         "'auto' for all devices; routes bricked frames through the "
+         "sharded renderer", ""),
     ]
     app = ApplicationParameters()
     vr = RendererParameters()
@@ -82,17 +85,49 @@ def main(argv: Optional[List[str]] = None) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     load_plugins()
+
+    # Device mesh (the reference's app IS the distributed deployment —
+    # livre.cpp:56-96 launches render nodes through the eq server; here
+    # --mesh RxB shards frames over the jax device mesh, auto = all
+    # devices on the ray axis).
+    mesh = None
+    mesh_arg = str(app.configuration.get("mesh") or "")
+    if mesh_arg:
+        import jax
+
+        from libre_tpu.parallel import make_mesh
+
+        if mesh_arg == "auto":
+            n = len(jax.devices())
+            n_brick = 2 if n % 2 == 0 and n > 1 else 1
+            mesh = make_mesh(n_brick=n_brick, n_ray=n // n_brick)
+        else:
+            r, b = (int(x) for x in mesh_arg.lower().split("x"))
+            mesh = make_mesh(n_brick=b, n_ray=r)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
     engine = RenderEngine(
         DataSource(app.data_file_name),
         max_gpu_cache_mb=vr.max_gpu_cache_memory_mb,
         max_cpu_cache_mb=vr.max_cpu_cache_memory_mb,
         filter_mode="trilinear",
+        mesh=mesh,
     )
     info = engine.info
 
     camera, frustum = build_camera(
         width, height, app.camera_position, app.camera_look_at
     )
+
+    # Multi-host launches: every process parses the same CLI, but the
+    # camera/frame state is committed by the controller and synced to
+    # all hosts — the FrameData commit/sync cycle (FrameData.h:32-147).
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        from libre_tpu.parallel.distributed import broadcast_frame_state
+
+        camera, frustum = broadcast_frame_state((camera, frustum))
 
     if app.color_map_file:
         import jax.numpy as jnp

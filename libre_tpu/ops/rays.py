@@ -31,26 +31,36 @@ def make_rays(
     inv_mv: jnp.ndarray,
     viewport: Tuple[int, int, int, int],
     sample_index: int = 0,
+    frag_override=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Build per-pixel rays for a viewport.
 
     Returns (eye (3,), dirs (H, W, 3), t_near_plane (H, W), frag (H, W, 2)).
     ``sample_index`` selects the jittered subpixel position of multi-sample
     rendering (fragRaycast.glsl:121-127); index 0 yields zero jitter, the
-    single-sample default.
+    single-sample default.  ``frag_override`` = (fx, fy) supplies
+    precomputed jittered fragment coords instead — callers tracing this
+    under jit use it to pin the jitter hash to runtime-evaluated values
+    (XLA constant-folds ``sin`` with a different libm than the runtime
+    kernels, and glsl_rand's fract amplifies that ulp gap into
+    decorrelated jitter).
     """
     vx, vy, vw, vh = viewport
     inv_proj = jnp.asarray(inv_proj, jnp.float32)
     inv_mv = jnp.asarray(inv_mv, jnp.float32)
 
-    px = jnp.arange(vw, dtype=jnp.float32) + 0.5 + vx
-    py = jnp.arange(vh, dtype=jnp.float32) + 0.5 + vy
-    fx, fy = jnp.meshgrid(px, py, indexing="xy")  # (H, W)
+    if frag_override is not None:
+        fx = jnp.asarray(frag_override[0], jnp.float32)
+        fy = jnp.asarray(frag_override[1], jnp.float32)
+    else:
+        px = jnp.arange(vw, dtype=jnp.float32) + 0.5 + vx
+        py = jnp.arange(vh, dtype=jnp.float32) + 0.5 + vy
+        fx, fy = jnp.meshgrid(px, py, indexing="xy")  # (H, W)
 
-    if sample_index > 0:
-        i = jnp.float32(sample_index)
-        fx = fx + glsl_rand(fx * i, fy * i) * 0.5
-        fy = fy + glsl_rand(fx * 2 * i, fy * 2 * i) * 0.5
+        if sample_index > 0:
+            i = jnp.float32(sample_index)
+            fx = fx + glsl_rand(fx * i, fy * i) * 0.5
+            fy = fy + glsl_rand(fx * 2 * i, fy * 2 * i) * 0.5
 
     # Window → NDC (fragRaycast.glsl:67-68); note z_ndc = w_ndc = 1.
     ndc_x = 2.0 * (fx - vx - vw / 2.0) / vw

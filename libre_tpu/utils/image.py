@@ -81,3 +81,41 @@ def write_image(path: str, img: np.ndarray, flip: bool = True) -> None:
         raise ValueError(f"unsupported image extension: {path}")
     with open(path, "wb") as f:
         f.write(data)
+
+
+def read_image(path: str) -> np.ndarray:
+    """Minimal PNG reader for files written by :func:`encode_png`
+    (8-bit, non-interlaced, filter-0 rows) — round-trip verification
+    helper for app-level tests; not a general decoder."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG")
+    pos = 8
+    idat = b""
+    w = h = color_type = None
+    while pos < len(data):
+        (n,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + n]
+        pos += 12 + n
+        if tag == b"IHDR":
+            w, h, depth, color_type, _c, _f, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or inter != 0:
+                raise ValueError("only 8-bit non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = w * c + 1
+    out = np.empty((h, w * c), np.uint8)
+    for i in range(h):
+        row = raw[i * stride : (i + 1) * stride]
+        if row[0] != 0:
+            raise ValueError("only filter-0 rows supported")
+        out[i] = np.frombuffer(row[1:], np.uint8)
+    return out.reshape(h, w, c)
