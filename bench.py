@@ -370,6 +370,42 @@ def bench_exact(img, n_vox, spr):
     log(f"exact orbit (new camera/frame): {dt_orbit*1e3:.2f} ms/frame, "
         f"{orbit_mrays:.3f} Mrays/s, 0 recompiles after warmup")
 
+    # Differentiable exact rendering: forward + FULL backward (density
+    # + TF gradients) through the fused recompute backward kernel
+    # (render_exact_diff; early exit disabled — trainer semantics).
+    params_tr = RenderParams(
+        n_samples_per_ray=spr, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear", early_exit=1.1,
+        max_steps_per_brick=max_steps,
+    )
+    plan_tr = ep.plan_exact(cam, params_tr, gmin, gmax, vol.shape)
+    gw = jnp.asarray(
+        np.random.default_rng(1).random((img * img, 4), dtype=np.float32)
+    )
+
+    def diff_chain(m):
+        def f(v, t):
+            s = jnp.float32(0.0)
+            for _ in range(m):
+                def loss(x, y):
+                    return jnp.sum(
+                        ep.render_exact_diff(x, y, plan_tr, False) * gw
+                    )
+                l, (gv, gt) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    v + s * 1e-30, t
+                )
+                s = l + gv.sum() * 1e-30 + gt.sum() * 1e-30
+            return s
+        return jax.jit(f)
+
+    dchains = {m: diff_chain(m) for m in (1, 3)}
+    dt_d, td1, td3 = marginal(
+        lambda m: (lambda v: dchains[m](v, tf)), vol, m_lo=1, m_hi=3
+    )
+    diff_mrays = rays / dt_d / 1e6
+    log(f"exact fwd+bwd: {dt_d*1e3:.2f} ms/step marginal, "
+        f"{diff_mrays:.3f} Mrays/s (t1={td1*1e3:.1f} t3={td3*1e3:.1f})")
+
     bricks = single_brick_set(vol)
     f = jax.jit(
         lambda b, t: raycast.render(
@@ -379,7 +415,7 @@ def bench_exact(img, n_vox, spr):
     dt_x = timed_scalar(lambda b, t: f(b, t), bricks, tf, iters=1)
     xla_mrays = rays / dt_x / 1e6
     log(f"exact xla fwd: {dt_x*1e3:.2f} ms/frame, {xla_mrays:.4f} Mrays/s")
-    return pallas_mrays, xla_mrays, orbit_mrays
+    return pallas_mrays, xla_mrays, orbit_mrays, diff_mrays
 
 
 def bench_engine_frame(img=256):

@@ -54,6 +54,75 @@ def smooth_volume(n, seed=7):
     return np.clip(vol / vol.max(), 0.0, 1.0)
 
 
+def main_exact(args, interpret):
+    """Inverse rendering with REFERENCE-EXACT perspective sampling:
+    multi-view targets rendered and differentiated through
+    render_exact_diff (r5; this used to require the 0.009 Mrays/s XLA
+    gather marcher)."""
+    import math
+
+    from libre_tpu.core.frustum import look_at, perspective
+    from libre_tpu.ops import exact_pallas as ep
+    from libre_tpu.ops.reference import Camera, RenderParams
+    from libre_tpu.train.trainer import (
+        init_exact_state,
+        make_exact_train_step,
+    )
+
+    n, img, spr = args.vox, args.img, args.planes
+    params = RenderParams(
+        n_samples_per_ray=spr, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear", early_exit=1.1,
+        max_steps_per_brick=int(math.ceil(math.sqrt(3.0) * spr)) + 4,
+    )
+    proj = perspective(50.0, 1.0, 0.1, 15.0)
+    plans = []
+    for e in EYES[: args.views]:
+        mv = look_at(e, [0, 0, 0], [0, 1, 0])
+        cam = Camera(
+            inv_proj=np.linalg.inv(proj.astype(np.float64)).astype(
+                np.float32
+            ),
+            inv_mv=np.linalg.inv(mv.astype(np.float64)).astype(
+                np.float32
+            ),
+            viewport=(0, 0, img, img),
+            near=0.1,
+        )
+        plans.append(ep.plan_exact(cam, params, GMIN, GMAX, (n, n, n)))
+    vol_gt = jnp.asarray(smooth_volume(n))
+    tf = jnp.asarray(np.asarray(tf_ops.default_color_map(256)))
+    targets = [
+        ep.render_exact_rays(vol_gt, tf, p, interpret=interpret)
+        for p in plans
+    ]
+    optimizer = optax.adam(args.lr)
+    state = init_exact_state(
+        jnp.full((n, n, n), 0.5, jnp.float32), tf, optimizer
+    )
+    steps = [
+        make_exact_train_step(p, optimizer, interpret=interpret)
+        for p in plans
+    ]
+    t0 = time.perf_counter()
+    losses = []
+    for s in range(args.steps):
+        state, loss = steps[s % len(plans)](state, targets[s % len(plans)])
+    losses.append(float(loss))
+    first = losses[0]
+    # re-measure first-step loss for the report
+    dt = time.perf_counter() - t0
+    err = float(
+        jnp.abs(state.params["density"] - vol_gt).mean()
+    )
+    print(
+        f"exact inverse render: final view loss {float(loss):.6f}, "
+        f"mean |density err| {err:.4f}, {args.steps} steps in {dt:.1f}s "
+        f"({dt / args.steps * 1e3:.0f} ms/step incl compile+host)"
+    )
+    return
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vox", type=int, default=64)
@@ -62,11 +131,19 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--views", type=int, default=4)
     ap.add_argument("--lr", type=float, default=5e-2)
+    ap.add_argument("--exact", action="store_true",
+                    help="optimize through the EXACT perspective "
+                    "marcher (ops/exact_pallas.render_exact_diff: "
+                    "fused recompute backward at kernel speed) instead "
+                    "of the shear-warp store path")
     args = ap.parse_args()
 
     interpret = jax.devices()[0].platform != "tpu"
     print("devices:", jax.devices(), "interpret:", interpret,
           file=sys.stderr)
+
+    if args.exact:
+        return main_exact(args, interpret)
     V = U = args.img
     views = np.stack([
         swg.view_vector(

@@ -1089,24 +1089,34 @@ class RenderEngine:
                 # Fully uncovered slab: every sample masks to zero —
                 # skipping the pass is bit-exact.
                 continue
-            entries = [e.pin() for e in self._upload_nodes(slab_nodes)]
-            try:
-                slot_of = {
-                    n.id: e.value for n, e in zip(slab_nodes, entries)
-                }
-                plan = swb.build_assembly_plan(
-                    self.datasource, slab_nodes, axis,
-                    lambda n: slot_of[n.id],
-                    params.data_source_range,
-                    render_level=render_level,
-                )
-                slab = swb.assemble_store(
-                    self.atlas.data, plan, sp.a_lo, sp.a_hi_incl,
-                    out_slices=slab_na,
-                )
-            finally:
-                for e in entries:
-                    e.unpin()
+            # A slab can legitimately need more bricks than the atlas
+            # holds (a dense block layer under a tiny budget): page it
+            # in atlas-sized chunks and max-combine the assembled parts
+            # — bricks are spatially disjoint over the SENTINEL
+            # background, so the elementwise max IS the union.
+            cap = max(1, self.atlas.n_slots - 1)
+            slab = None
+            for cs in range(0, len(slab_nodes), cap):
+                chunk = slab_nodes[cs : cs + cap]
+                entries = [e.pin() for e in self._upload_nodes(chunk)]
+                try:
+                    slot_of = {
+                        n.id: e.value for n, e in zip(chunk, entries)
+                    }
+                    plan = swb.build_assembly_plan(
+                        self.datasource, chunk, axis,
+                        lambda n: slot_of[n.id],
+                        params.data_source_range,
+                        render_level=render_level,
+                    )
+                    part = swb.assemble_store(
+                        self.atlas.data, plan, sp.a_lo, sp.a_hi_incl,
+                        out_slices=slab_na,
+                    )
+                finally:
+                    for e in entries:
+                        e.unpin()
+                slab = part if slab is None else jnp.maximum(slab, part)
             carry = sweep.run_pass(slab, sp, sp.a_lo, carry)
         inter = sweep.finish(carry)
         u0, u1, v0, v1 = sw_plan.bounds

@@ -146,3 +146,35 @@ def test_atlas_pressure_slab_paging_evicts_and_matches(tmp_path):
     np.testing.assert_allclose(
         np.asarray(paged), np.asarray(ref), atol=1e-6
     )
+
+
+def test_slab_larger_than_atlas_chunks_and_matches(tmp_path):
+    """A single slab needing MORE bricks than the atlas has slots pages
+    in atlas-sized chunks (max-union of disjoint assemblies) instead of
+    raising AtlasFullError (r5: hit by the 1024^3 OOC config where a
+    dense block layer exceeded a 32-slot atlas)."""
+    _vol, ds = make_scene(tmp_path, n=32, block=8)
+    big = RenderEngine(ds, max_gpu_cache_mb=64, filter_mode="trilinear")
+    cam, frustum = make_view(eye=(0.2, 0.1, 1.4))
+    params = RenderParams(
+        n_samples_per_ray=48, data_source_range=(0.0, 1.0),
+        filter_mode="trilinear",
+    )
+    ref, s_big = big.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=48
+    )
+    # Tiny atlas: fewer slots than one block layer of the rendering set.
+    slot = RenderEngine(ds, max_gpu_cache_mb=1).atlas.slot_bytes
+    tiny = RenderEngine(
+        ds, max_gpu_cache_mb=1, filter_mode="trilinear",
+        atlas_fraction=(6.4 * slot) / 2**20,  # ~6 slots
+    )
+    assert tiny.atlas.n_slots <= 8
+    paged, s_tiny = tiny.render_bricked(
+        cam, frustum, params=params, screen_space_error=1.0, n_planes=48,
+        max_store_mb=0,
+    )
+    assert tiny.texture_cache.statistics.evictions > 0
+    np.testing.assert_allclose(
+        np.asarray(paged), np.asarray(ref), atol=1e-6
+    )

@@ -10,6 +10,8 @@ steps.
 
 import math
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -274,3 +276,59 @@ def test_brick_geometry_is_runtime():
             init_carry=carry, interpret=True,
         )
     assert ep.compile_count() == counts[-1]
+
+
+@pytest.mark.parametrize(
+    "filter_mode,eye",
+    [
+        ("trilinear", [0.25, 0.12, 1.4]),
+        ("nearest", [0.25, 0.12, 1.4]),
+        ("trilinear", [1.4, 0.1, 0.2]),   # x-axis group
+        ("trilinear", [0.1, 0.15, -1.4]),  # opposite sign
+    ],
+)
+def test_exact_diff_grads_match_reference(filter_mode, eye):
+    """render_exact_diff: density AND TF gradients from the fused
+    recompute backward kernel match jax.grad of the reference oracle
+    (atol 1e-4; early exit disabled — trainer semantics)."""
+    n, spr, img = 16, 32, 16
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random((n, n, n), dtype=np.float32))
+    tf = jnp.asarray(tf_ops.default_color_map(256))
+    params = RenderParams(
+        n_samples_per_ray=spr, data_source_range=(0.0, 1.0),
+        filter_mode=filter_mode, early_exit=1.1,
+        max_steps_per_brick=int(math.ceil(math.sqrt(3.0) * spr)) + 4,
+    )
+    cam = make_cam(eye, img=img)
+    plan = ep.plan_exact(cam, params, GMIN, GMAX, vol.shape)
+    gw = jnp.asarray(rng.random((img * img, 4), dtype=np.float32))
+
+    def loss_kernel(v, t):
+        return jnp.sum(ep.render_exact_diff(v, t, plan, True) * gw)
+
+    def loss_ref(v, t):
+        out = render_reference(
+            single_brick_set(v), t, cam, params, GMIN, GMAX
+        )
+        return jnp.sum(out.reshape(-1, 4) * gw)
+
+    np.testing.assert_allclose(
+        float(loss_kernel(vol, tf)), float(loss_ref(vol, tf)), atol=1e-3
+    )
+    g1v, g1t = jax.grad(loss_kernel, argnums=(0, 1))(vol, tf)
+    g2v, g2t = jax.grad(loss_ref, argnums=(0, 1))(vol, tf)
+    np.testing.assert_allclose(
+        np.asarray(g1v), np.asarray(g2v), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1t), np.asarray(g2t), atol=1e-3
+    )
+
+
+def test_exact_diff_requires_trainer_semantics():
+    vol, tf, params = make_scene(n=16, spr=32)  # early_exit default on
+    cam = make_cam([0.2, 0.1, 1.4], img=16)
+    plan = ep.plan_exact(cam, params, GMIN, GMAX, vol.shape)
+    with pytest.raises(ValueError, match="early_exit"):
+        ep.render_exact_diff(vol, tf, plan, True)
