@@ -21,7 +21,13 @@ workload — the reference publishes no quantitative numbers
   * engine_frame_ms — steady-state end-to-end RenderEngine.render_bricked
     (select → cache → dispatch → block), the host-side frame-time guard
     (the reference's FPS log, livre/eq/Client.cpp:239-243);
-  * exact_fwd_mrays — the oracle marcher.
+  * exact_fwd_mrays / exact_orbit_mrays — the camera-agnostic Pallas
+    exact marcher, chained and as a streaming orbit with a NEW camera
+    every frame (zero recompiles asserted in-run);
+  * exact_fwd_bwd_mrays — differentiable reference-exact rendering
+    (render_exact_diff fused recompute backward, density + TF grads);
+  * multi_view_wall — the committed WALL_RUN artifact (batched walls);
+  * out_of_core_1024 — the committed OOC_RUN artifact.
 
 Kernel timings use CHAINED frames inside one jit call (each frame
 consumes a zero-scaled summary of the previous one, defeating CSE) and
@@ -496,6 +502,27 @@ def _ooc_artifact():
     }
 
 
+def _wall_artifact():
+    """Committed batched-wall artifact (benchmarks/demo_wall.py)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "WALL_RUN_r05.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return {
+        "single_view_ms": d.get("single_view_ms"),
+        "wall_2x2_per_view_ms": d.get("2x2", {}).get("per_view_ms"),
+        "per_view_rate_vs_single": d.get("2x2", {}).get(
+            "per_view_rate_vs_single"
+        ),
+        "criterion_ge_half": d.get(
+            "criterion_per_view_rate_ge_half_single"
+        ),
+    }
+
+
 def main():
     log("devices:", jax.devices())
     from libre_tpu.ops import transfer_function as tf_ops
@@ -509,9 +536,8 @@ def main():
     bwd_mrays = bench_store_bwd(img, spr, store, dims, tf)
     dense_mrays = bench_dense_preclassified(img, 64, spr, tf)
     engine_ms, engine_blocking_ms = bench_engine_frame(img)
-    exact_mrays, exact_xla_mrays, exact_orbit_mrays = bench_exact(
-        img, 64, spr
-    )
+    (exact_mrays, exact_xla_mrays, exact_orbit_mrays,
+     exact_fwd_bwd_mrays) = bench_exact(img, 64, spr)
 
     print(
         json.dumps(
@@ -532,8 +558,12 @@ def main():
                     ),
                     "exact_fwd_mrays": round(exact_mrays, 4),
                     "exact_orbit_mrays": round(exact_orbit_mrays, 4),
+                    "exact_fwd_bwd_mrays": round(
+                        exact_fwd_bwd_mrays, 4
+                    ),
                     "exact_xla_fwd_mrays": round(exact_xla_mrays, 4),
                     "out_of_core_1024": _ooc_artifact(),
+                    "multi_view_wall": _wall_artifact(),
                     "continuity": "dense_preclassified IS the r02 "
                     "headline workload (64^3 seed-0 noise, same chained "
                     "frames).  r02 (62.2) and r03 (36.6) BOTH used the "
@@ -547,9 +577,14 @@ def main():
                     "workloads": "store 256^3 -> 256^2 x 512 planes (post-TF, "
                     "early exit); fwd+bwd same shape (no early exit); dense "
                     "64^3 preclassified; engine mem:// 64^3 end-to-end; "
-                    "exact = Pallas slab marcher, exact_xla = r1-r3 XLA "
-                    "gather marcher (the vs_baseline denominator), both "
-                    "64^3 noise -> 256^2 x 512",
+                    "exact = camera-agnostic Pallas slab marcher (chained), "
+                    "exact_orbit = streaming orbit with a NEW camera every "
+                    "frame (2-frame-lookahead numpy planning, zero "
+                    "recompiles asserted), exact_fwd_bwd = render_exact_diff "
+                    "fused recompute backward (density+TF grads, early exit "
+                    "off), exact_xla = r1-r3 XLA gather marcher (the "
+                    "vs_baseline denominator) - all 64^3 noise -> 256^2 x "
+                    "512",
                 },
             }
         )

@@ -105,19 +105,19 @@ def main_exact(args, interpret):
         for p in plans
     ]
     t0 = time.perf_counter()
-    losses = []
+    first = None
     for s in range(args.steps):
         state, loss = steps[s % len(plans)](state, targets[s % len(plans)])
-    losses.append(float(loss))
-    first = losses[0]
-    # re-measure first-step loss for the report
+        if first is None:
+            first = float(loss)
     dt = time.perf_counter() - t0
     err = float(
         jnp.abs(state.params["density"] - vol_gt).mean()
     )
     print(
-        f"exact inverse render: final view loss {float(loss):.6f}, "
-        f"mean |density err| {err:.4f}, {args.steps} steps in {dt:.1f}s "
+        f"exact inverse render: view loss {first:.5f} -> "
+        f"{float(loss):.6f}, mean |density err| {err:.4f}, "
+        f"{args.steps} steps in {dt:.1f}s "
         f"({dt / args.steps * 1e3:.0f} ms/step incl compile+host)"
     )
     return

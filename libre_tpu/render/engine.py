@@ -397,6 +397,38 @@ class RenderEngine:
         )
         return self.prefetch(visibles)
 
+    def upload_view(
+        self,
+        frustum: Frustum,
+        window_height: int,
+        screen_space_error: float = 4.0,
+        min_lod: int = 0,
+        max_lod: int = (1 << 4) - 1,
+        data_range: Tuple[float, float] = (0.0, 1.0),
+        clip_planes: Optional[ClipPlanes] = None,
+        time_step: int = 0,
+    ) -> int:
+        """Atlas-level camera-path look-ahead: push the NEXT frame's
+        visible bricks disk→host→HBM while the CURRENT frame's kernels
+        execute.  Call AFTER dispatching the current frame — its
+        assembly has already consumed its atlas slots, so evictions
+        cannot hurt it, and the host→device brick traffic (the
+        out-of-core critical path: ~hundreds of KB per missing brick)
+        hides behind device execution (the reference's async texture
+        uploaders, GLRenderUploadFilter.cpp:79-107).  Returns the
+        number of bricks uploaded."""
+        visibles = self.select(
+            frustum, window_height, screen_space_error, min_lod,
+            max_lod, data_range, clip_planes, time_step,
+        )
+        missing = [n for n in visibles if not self.is_resident(n)]
+        if not missing:
+            return 0
+        if len(missing) > self.atlas.n_slots - 1:
+            missing = missing[: self.atlas.n_slots - 1]
+        self._upload_nodes(missing)
+        return len(missing)
+
     # --------------------------------------------------------------- frame
     def select(
         self,
