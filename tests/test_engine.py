@@ -289,3 +289,24 @@ def test_render_samples_per_pixel(engine, view):
     # (large local diffs) but the image barely changes on average.
     assert d.max() > 0
     assert d.mean() < 0.01, d.mean()
+
+
+def test_camera_path_lookahead_prefetch_and_upload(engine, view):
+    """prefetch_view warms the host cache and upload_view pushes the
+    view's bricks into the atlas ahead of rendering (the async texture
+    uploader pattern, GLRenderUploadFilter.cpp:79-107)."""
+    cam, frustum = view
+    futs = engine.prefetch_view(frustum, cam.viewport[3],
+                                screen_space_error=2.0)
+    for f in futs:
+        f.result()
+    visibles = engine.select(frustum, cam.viewport[3], 2.0, 0, 15,
+                             (0.0, 1.0), None, 0)
+    assert visibles and all(n.id in engine.data_cache for n in visibles)
+    n_up = engine.upload_view(frustum, cam.viewport[3],
+                              screen_space_error=2.0)
+    assert n_up == len(visibles)
+    assert all(engine.is_resident(n) for n in visibles)
+    # Second call: everything resident -> no work.
+    assert engine.upload_view(frustum, cam.viewport[3],
+                              screen_space_error=2.0) == 0
