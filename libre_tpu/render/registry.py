@@ -95,10 +95,12 @@ class BrickedRenderer(RendererPlugin):
 
 @register_renderer("pallas-exact")
 class PallasExactRenderer(RendererPlugin):
-    """The r4 slab-bucketed Pallas exact marcher behind the engine's
+    """The slab-bucketed Pallas exact marcher behind the engine's
     general-camera path (ops/exact_pallas.py): the reference's sample
-    grid and ownership rule at kernel speed — compiled per camera
-    geometry, so best for camera paths and offline stills."""
+    grid and ownership rule at kernel speed.  Camera-agnostic since
+    r5 — every pose re-plans in numpy against compiled frame functions
+    cached per (shape × tier) signature, zero recompiles on orbits —
+    and the engine's DEFAULT exact marcher on TPU ("auto")."""
 
     def render(self, engine, camera, frustum, *, params=None, **kwargs):
         allowed = {
